@@ -1,0 +1,119 @@
+"""Sum segment tree on device.
+
+Replaces the reference's numba segment tree (``data/utils/segtree.py:5-134``):
+``_setitem`` (leaf update + parent propagation), ``_reduce`` (range sum) and
+``_get_prefix_sum_idx`` (inverse prefix-sum sampling for PER).
+
+Layout: classic implicit binary heap in one array of length ``2 * bound``
+(``bound`` = next power of two >= size); node 1 is the root, leaves live at
+``[bound, 2 * bound)``. All ops are pure functions of the tree array and are
+O(log n) XLA ops (gather/scatter per level) — no data-dependent shapes, so
+they fuse into the jitted sample/update steps.
+
+Duplicate-index updates are last-write-wins, matching numpy semantics relied
+on by the reference (``segtree.py:95-101``): duplicates are resolved with a
+stable sort before the scatter, because XLA scatter-set order is undefined.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["SegmentTree"]
+
+
+def _next_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class SegmentTree:
+    """Static-config handle; all state lives in the array returned by init()."""
+
+    def __init__(self, size: int) -> None:
+        self.size = size
+        self.bound = _next_pow2(size)
+        self.depth = self.bound.bit_length() - 1  # log2(bound)
+
+    def init(self) -> jnp.ndarray:
+        return jnp.zeros(2 * self.bound, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def update(self, tree: jnp.ndarray, index: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+        """Set leaves at ``index`` to ``value`` and repair ancestors.
+
+        index: int array [k]; value: float array [k]. Last write wins on
+        duplicate indices.
+        """
+        index = jnp.atleast_1d(jnp.asarray(index, dtype=jnp.int32))
+        value = jnp.atleast_1d(jnp.asarray(value, dtype=jnp.float32))
+        bound = self.bound
+
+        # resolve duplicates: stable-sort by index, keep only the last
+        order = jnp.argsort(index, stable=True)
+        s_idx = index[order]
+        s_val = value[order]
+        is_last = jnp.concatenate([s_idx[1:] != s_idx[:-1], jnp.ones((1,), bool)])
+        oob = 2 * bound  # drop sentinel
+        leaf_pos = jnp.where(is_last, s_idx + bound, oob)
+        tree = tree.at[leaf_pos].set(s_val, mode="drop")
+
+        # repair ancestors level by level
+        pos = leaf_pos
+
+        def level(_, carry):
+            tree, pos = carry
+            parent = jnp.where(pos < oob, pos // 2, oob)
+            sums = tree[2 * jnp.minimum(parent, bound - 1)] + tree[
+                2 * jnp.minimum(parent, bound - 1) + 1
+            ]
+            tree = tree.at[parent].set(sums, mode="drop")
+            return tree, parent
+
+        tree, _ = lax.fori_loop(0, self.depth, level, (tree, pos))
+        return tree
+
+    # ------------------------------------------------------------------
+    def reduce(self, tree: jnp.ndarray, start: int | jnp.ndarray = 0, end: int | jnp.ndarray | None = None):
+        """Sum over ``[start, end)`` (reference ``_reduce`` segtree.py:104-116)."""
+        if end is None:
+            end = self.size
+        bound = self.bound
+        start = jnp.asarray(start, jnp.int32) + bound - 1
+        end = jnp.asarray(end, jnp.int32) + bound
+
+        def body(_, carry):
+            result, lo, hi = carry
+            result = result + jnp.where((lo % 2 == 0) & (lo + 1 < hi), tree[lo + 1], 0.0)
+            result = result + jnp.where((hi % 2 == 1) & (hi - 1 > lo), tree[hi - 1], 0.0)
+            return result, lo // 2, hi // 2
+
+        result, _, _ = lax.fori_loop(0, self.depth + 1, body, (jnp.float32(0.0), start, end))
+        return result
+
+    def total(self, tree: jnp.ndarray) -> jnp.ndarray:
+        return tree[1]
+
+    # ------------------------------------------------------------------
+    def get_prefix_sum_idx(self, tree: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+        """Largest i with prefix_sum(i) <= value — vectorized binary descent.
+
+        (reference ``_get_prefix_sum_idx`` segtree.py:119-134)
+        """
+        value = jnp.asarray(value, jnp.float32)
+        index = jnp.ones_like(value, dtype=jnp.int32)
+
+        def body(_, carry):
+            index, value = carry
+            left = tree[2 * index]
+            go_right = left < value  # strict, per reference segtree.py:130
+            value = jnp.where(go_right, value - left, value)
+            index = 2 * index + go_right.astype(jnp.int32)
+            return index, value
+
+        index, _ = lax.fori_loop(0, self.depth, body, (index, value))
+        return jnp.minimum(index - self.bound, self.size - 1)
