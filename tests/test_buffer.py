@@ -1,0 +1,213 @@
+"""Replay buffer tests, mirroring reference test/base/test_buffer.py coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer.base import ReplayBuffer, VectorReplayBuffer
+from tianshou_tpu.data.buffer.prio import PrioritizedReplayBuffer
+
+
+def tr(obs, act, rew, term, trunc, obs_next):
+    return Batch(
+        obs=jnp.float32(obs),
+        act=jnp.int32(act),
+        rew=jnp.float32(rew),
+        terminated=jnp.bool_(term),
+        truncated=jnp.bool_(trunc),
+        obs_next=jnp.float32(obs_next),
+    )
+
+
+def example():
+    return tr(0, 0, 0, False, False, 0)
+
+
+def fill(buf, state, seq):
+    """seq: list of (obs, done) single-env transitions."""
+    infos = []
+    for obs, done in seq:
+        t = tr(obs, 1, obs * 0.1, done, False, obs + 1)
+        b = jax.tree.map(lambda x: jnp.asarray(x)[None], t)  # add env axis
+        state, info = buf.add(state, b)
+        infos.append(info)
+    return state, infos
+
+
+def test_ring_semantics():
+    buf = ReplayBuffer(size=4)
+    state = buf.init(example())
+    state, infos = fill(buf, state, [(i, False) for i in range(3)])
+    assert int(state.size[0]) == 3
+    assert int(state.cursor[0]) == 3
+    np.testing.assert_array_equal([int(i.indices[0]) for i in infos], [0, 1, 2])
+    # wrap around
+    state, infos = fill(buf, state, [(i, False) for i in range(3, 6)])
+    assert int(state.size[0]) == 4
+    assert int(state.cursor[0]) == 2
+    np.testing.assert_array_equal(np.asarray(state.data.obs[0]), [4, 5, 2, 3])
+
+
+def test_prev_next_episode_boundaries():
+    buf = ReplayBuffer(size=8)
+    state = buf.init(example())
+    # two episodes: [0,1,2(done)], [3,4(done)]
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, True), (3, False), (4, True)])
+    idx = jnp.arange(5)
+    nxt = np.asarray(buf.next(state, idx))
+    np.testing.assert_array_equal(nxt, [1, 2, 2, 4, 4])
+    prv = np.asarray(buf.prev(state, idx))
+    np.testing.assert_array_equal(prv, [0, 0, 1, 3, 3])
+
+
+def test_next_stops_at_newest():
+    buf = ReplayBuffer(size=8)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(0, False), (1, False)])
+    assert int(buf.next(state, jnp.array([1]))[0]) == 1  # newest entry
+
+
+def test_prev_stops_at_oldest_after_wrap():
+    buf = ReplayBuffer(size=4)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(i, False) for i in range(6)])  # slots: 4,5,2,3
+    # oldest is slot 2 (obs=2); prev(2) == 2
+    assert int(buf.prev(state, jnp.array([2]))[0]) == 2
+    assert int(buf.prev(state, jnp.array([3]))[0]) == 2
+
+
+def test_get_and_obs_next_reconstruction():
+    buf = ReplayBuffer(size=8, ignore_obs_next=True)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, True)])
+    got = buf.get(state, jnp.array([0, 1, 2]))
+    np.testing.assert_array_equal(np.asarray(got.obs), [0, 1, 2])
+    # obs_next = obs at next index; terminal points at itself
+    np.testing.assert_array_equal(np.asarray(got.obs_next), [1, 2, 2])
+
+
+def test_frame_stacking():
+    buf = ReplayBuffer(size=8, stack_num=3)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, False), (3, True)])
+    got = buf.get(state, jnp.array([0, 2, 3]))
+    assert got.obs.shape == (3, 3)
+    # episode start clamps: stack for idx 0 repeats frame 0
+    np.testing.assert_array_equal(np.asarray(got.obs[0]), [0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(got.obs[1]), [0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(got.obs[2]), [1, 2, 3])
+
+
+def test_vector_buffer_and_mask():
+    buf = VectorReplayBuffer(total_size=8, buffer_num=2)
+    state = buf.init(example())
+    b = Batch(
+        obs=jnp.array([1.0, 10.0]),
+        act=jnp.array([0, 1]),
+        rew=jnp.array([0.1, 0.2]),
+        terminated=jnp.array([False, False]),
+        truncated=jnp.array([False, False]),
+        obs_next=jnp.array([2.0, 11.0]),
+    )
+    state, info = buf.add(state, b)
+    np.testing.assert_array_equal(np.asarray(info.indices), [0, 4])  # capacity=4
+    # masked add only advances env 1
+    state, info = buf.add(state, b, mask=jnp.array([False, True]))
+    assert int(info.indices[0]) == -1
+    np.testing.assert_array_equal(np.asarray(state.size), [1, 2])
+    np.testing.assert_array_equal(np.asarray(state.cursor), [1, 2])
+
+
+def test_sampling_uniform_over_valid(rng):
+    buf = VectorReplayBuffer(total_size=8, buffer_num=2)
+    state = buf.init(example())
+    b1 = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2), example())
+    for _ in range(3):
+        state, _ = buf.add(state, b1)
+    idx = np.asarray(buf.sample_indices(state, jax.random.key(0), 512))
+    assert set(np.unique(idx)) <= {0, 1, 2, 4, 5, 6}
+    # all six valid slots hit
+    assert len(np.unique(idx)) == 6
+
+
+def test_add_rollout_bulk():
+    buf = VectorReplayBuffer(total_size=16, buffer_num=2)
+    state = buf.init(example())
+    T, E = 5, 2
+    roll = Batch(
+        obs=jnp.arange(T * E, dtype=jnp.float32).reshape(T, E),
+        act=jnp.zeros((T, E), jnp.int32),
+        rew=jnp.ones((T, E)),
+        terminated=jnp.zeros((T, E), bool),
+        truncated=jnp.zeros((T, E), bool),
+        obs_next=jnp.ones((T, E)),
+    )
+    state = buf.add_rollout(state, roll)
+    np.testing.assert_array_equal(np.asarray(state.size), [5, 5])
+    np.testing.assert_array_equal(np.asarray(state.data.obs[0, :5]), [0, 2, 4, 6, 8])
+
+
+def test_nstep_gather():
+    buf = ReplayBuffer(size=8)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, True), (3, False)])
+    rews, ends, term_idx = buf.n_step_gather(state, jnp.array([0, 1]), 3)
+    assert rews.shape == (3, 2)
+    # chain from 0: rewards at 0,1,2 ; chain from 1: 1,2,2 (saturates at done)
+    np.testing.assert_allclose(np.asarray(rews[:, 0]), [0.0, 0.1, 0.2])
+    np.testing.assert_allclose(np.asarray(rews[:, 1]), [0.1, 0.2, 0.2])
+    np.testing.assert_array_equal(np.asarray(term_idx), [2, 2])
+
+
+def test_prioritized_buffer(rng):
+    buf = PrioritizedReplayBuffer(size=8, alpha=0.6, beta=0.4)
+    state = buf.init(example())
+    for i in range(4):
+        t = jax.tree.map(lambda x: jnp.asarray(x)[None], tr(i, 0, 0, False, False, i + 1))
+        state, info = buf.add(state, t)
+    # all initial priorities equal -> near-uniform sampling
+    batch, idx = buf.sample(state, jax.random.key(1), 256)
+    assert "weight" in batch
+    np.testing.assert_allclose(np.asarray(batch.weight), 1.0, rtol=1e-5)
+    # boost priority of index 2 and expect it to dominate
+    state = buf.update_weight(state, jnp.array([2]), jnp.array([100.0]))
+    idx2 = np.asarray(buf.sample_indices(state, jax.random.key(2), 512))
+    assert (idx2 == 2).mean() > 0.5
+    # IS weight of the boosted index is now the max (=1 after norm)
+    w = buf.get_weight(state, jnp.array([0, 2]))
+    assert float(w[1]) < float(w[0]) + 1e-6  # high-prio sample downweighted
+
+
+def test_prioritized_masked_add():
+    buf = PrioritizedReplayBuffer(size=8, num_envs=2)
+    state = buf.init(example())
+    b = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2), example())
+    state, _ = buf.add(state, b, mask=jnp.array([True, False]))
+    # only env 0 slot got priority mass
+    assert float(buf.segtree.total(state.tree)) == 1.0
+
+
+def test_buffer_in_jit_loop():
+    buf = ReplayBuffer(size=16)
+    state = buf.init(example())
+
+    @jax.jit
+    def add_n(state):
+        def body(st, i):
+            t = Batch(
+                obs=i.astype(jnp.float32)[None],
+                act=jnp.zeros(1, jnp.int32),
+                rew=jnp.ones(1),
+                terminated=jnp.zeros(1, bool),
+                truncated=jnp.zeros(1, bool),
+                obs_next=i.astype(jnp.float32)[None] + 1,
+            )
+            st, _ = buf.add(st, t)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(10))
+        return state
+
+    state = add_n(state)
+    assert int(state.size[0]) == 10

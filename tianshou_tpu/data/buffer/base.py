@@ -1,0 +1,277 @@
+"""Device-resident replay buffer.
+
+Rebuild of the reference's ``ReplayBuffer`` (data/buffer/buffer_base.py:25)
+and ``ReplayBufferManager`` (data/buffer/manager.py:13) as ONE structure: a
+pytree of ``[num_envs, capacity, ...]`` ring arrays with per-env cursors.
+The reference lays N sub-buffers into one flat array with offset bookkeeping
+and numba prev/next kernels (manager.py:311-363); here the env axis is a real
+array axis, so every operation is a batched gather/scatter that XLA fuses
+into the surrounding jitted program — buffer adds inside a ``lax.scan``
+rollout never leave the chip.
+
+All mutating ops are pure: ``add(state, transitions) -> (state, info)``.
+Flat index convention: ``idx = env * capacity + slot``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+
+__all__ = ["BufferState", "ReplayBuffer", "VectorReplayBuffer"]
+
+
+class BufferState(NamedTuple):
+    data: Batch            # [E, C, ...] ring storage per reserved key
+    cursor: jnp.ndarray    # [E] next write slot
+    size: jnp.ndarray      # [E] valid entries per env ring
+    last_idx: jnp.ndarray  # [E] slot of most recent write (for next())
+
+
+class AddInfo(NamedTuple):
+    """Returned by add(): flat indices written and episode bookkeeping."""
+
+    indices: jnp.ndarray    # [E] flat indices written (or -1 where masked out)
+    done: jnp.ndarray       # [E] episode finished at this step
+    ep_returns: jnp.ndarray  # [E] episode return where done (garbage elsewhere)
+    ep_lens: jnp.ndarray     # [E] episode length where done
+
+
+class ReplayBuffer:
+    """Static configuration handle; state lives in :class:`BufferState`.
+
+    Reserved keys match the reference (buffer_base.py:41): obs, act, rew,
+    terminated, truncated, done, obs_next, plus optional info/policy subtrees.
+    """
+
+    def __init__(
+        self,
+        size: int,
+        num_envs: int = 1,
+        stack_num: int = 1,
+        ignore_obs_next: bool = False,
+        sample_avail: bool = False,
+    ) -> None:
+        assert size > 0 and num_envs > 0
+        self.capacity = int(math.ceil(size / num_envs))
+        self.num_envs = num_envs
+        self.total_size = self.capacity * num_envs
+        self.stack_num = stack_num
+        self.ignore_obs_next = ignore_obs_next
+        self.sample_avail = sample_avail
+
+    # ------------------------------------------------------------------
+    def init(self, example: Batch) -> BufferState:
+        """Allocate storage from a single example transition (no env axis)."""
+        E, C = self.num_envs, self.capacity
+
+        def alloc(x):
+            x = jnp.asarray(x)
+            return jnp.zeros((E, C) + x.shape, x.dtype)
+
+        data = jax.tree.map(alloc, example)
+        if self.ignore_obs_next and "obs_next" in data:
+            del data["obs_next"]
+        if "done" not in data and "terminated" in data:
+            data.done = jnp.zeros((E, C), bool)
+        return BufferState(
+            data=data,
+            cursor=jnp.zeros(E, jnp.int32),
+            size=jnp.zeros(E, jnp.int32),
+            last_idx=jnp.zeros(E, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def add(
+        self,
+        state: BufferState,
+        transitions: Batch,
+        mask: jnp.ndarray | None = None,
+    ) -> tuple[BufferState, AddInfo]:
+        """Insert one transition per env (leading axis E), ring-advance.
+
+        ``mask`` (optional [E] bool) suppresses writes for inactive envs —
+        the analogue of the reference's ``buffer_ids`` subset adds
+        (manager.py:131).
+        """
+        E, C = self.num_envs, self.capacity
+        if mask is None:
+            mask = jnp.ones(E, bool)
+        cur = state.cursor
+        term = transitions.terminated.astype(bool)
+        trunc = transitions.truncated.astype(bool)
+        done = term | trunc
+        transitions = transitions.copy()
+        transitions.done = done
+        if self.ignore_obs_next and "obs_next" in transitions:
+            transitions = transitions.copy()
+            del transitions["obs_next"]
+
+        env_ids = jnp.arange(E)
+        write_env = jnp.where(mask, env_ids, E)  # E = drop sentinel
+
+        def write(store, val):
+            return store.at[write_env, cur].set(val, mode="drop")
+
+        data = jax.tree.map(write, state.data, transitions)
+        m = mask.astype(jnp.int32)
+        new_state = BufferState(
+            data=data,
+            cursor=(cur + m) % C,
+            size=jnp.minimum(state.size + m, C),
+            last_idx=jnp.where(mask, cur, state.last_idx),
+        )
+        flat = jnp.where(mask, env_ids * C + cur, -1)
+        info = AddInfo(
+            indices=flat,
+            done=done & mask,
+            ep_returns=jnp.zeros(E, jnp.float32),  # filled by the collector
+            ep_lens=jnp.zeros(E, jnp.int32),
+        )
+        return new_state, info
+
+    def add_rollout(self, state: BufferState, rollout: Batch) -> BufferState:
+        """Bulk-insert a time-major rollout ``[T, E, ...]`` via one scan."""
+
+        def body(st, tr):
+            st, _ = self.add(st, tr)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, rollout)
+        return state
+
+    # ------------------------------------------------------------------
+    # episode-aware index arithmetic (reference buffer_base.py:319-334,
+    # manager.py:311-363 numba kernels)
+    # ------------------------------------------------------------------
+    def _split(self, flat_idx: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return flat_idx // self.capacity, flat_idx % self.capacity
+
+    def _oldest_slot(self, state: BufferState, env: jnp.ndarray) -> jnp.ndarray:
+        full = state.size[env] >= self.capacity
+        return jnp.where(full, state.cursor[env] % self.capacity, 0)
+
+    def prev(self, state: BufferState, flat_idx: jnp.ndarray) -> jnp.ndarray:
+        """Index of previous transition, stopping at episode/buffer start."""
+        env, slot = self._split(flat_idx)
+        C = self.capacity
+        prev_abs = (slot - 1) % C
+        at_oldest = slot == self._oldest_slot(state, env)
+        prev_abs = jnp.where(at_oldest, slot, prev_abs)
+        end_prev = state.data.done[env, prev_abs]
+        out_slot = jnp.where(end_prev, slot, prev_abs)
+        return env * C + out_slot
+
+    def next(self, state: BufferState, flat_idx: jnp.ndarray) -> jnp.ndarray:
+        """Index of next transition, stopping at episode end / newest entry."""
+        env, slot = self._split(flat_idx)
+        C = self.capacity
+        is_end = state.data.done[env, slot]
+        is_last = slot == state.last_idx[env]
+        stay = is_end | is_last
+        nxt = jnp.where(stay, slot, (slot + 1) % C)
+        return env * C + nxt
+
+    # ------------------------------------------------------------------
+    def sample_indices(self, state: BufferState, key: jax.Array, batch_size: int) -> jnp.ndarray:
+        """Uniform flat indices over all valid entries (ragged per-env sizes).
+
+        Mirrors weighted cross-sub-buffer sampling (manager.py:200).
+        """
+        sizes = state.size
+        cum = jnp.cumsum(sizes)
+        total = cum[-1]
+        u = jax.random.randint(key, (batch_size,), 0, jnp.maximum(total, 1))
+        env = jnp.searchsorted(cum, u, side="right")
+        offset_in_env = u - jnp.where(env > 0, cum[jnp.maximum(env - 1, 0)], 0)
+        # map the k-th valid entry of a ring to an absolute slot
+        oldest = self._oldest_slot(state, env)
+        slot = (oldest + offset_in_env) % self.capacity
+        return env * self.capacity + slot
+
+    # ------------------------------------------------------------------
+    def get(
+        self,
+        state: BufferState,
+        flat_idx: jnp.ndarray,
+        stack_num: int | None = None,
+    ) -> Batch:
+        """Gather transitions at ``flat_idx``; frame-stack obs if configured.
+
+        Frame stacking mirrors reference ``get`` (buffer_base.py:557-598):
+        the last ``stack_num`` observations along a new trailing-first axis,
+        clamped at episode starts (earliest frame repeats).
+        """
+        stack = self.stack_num if stack_num is None else stack_num
+        env, slot = self._split(flat_idx)
+        batch = Batch()
+        for k, v in state.data.items():
+            if stack > 1 and k in ("obs", "obs_next"):
+                continue
+            batch[k] = jax.tree.map(lambda a: a[env, slot], v) if isinstance(v, Batch) else v[env, slot]
+        if stack > 1:
+            batch.obs = self._stacked(state, flat_idx, "obs", stack)
+            if "obs_next" in state.data:
+                batch.obs_next = self._stacked(state, flat_idx, "obs_next", stack)
+        if "obs_next" not in state.data:
+            # reconstruct obs_next = obs at next index (reference ignore_obs_next path)
+            nxt = self.next(state, flat_idx)
+            nenv, nslot = self._split(nxt)
+            src = state.data.obs
+            batch.obs_next = jax.tree.map(lambda a: a[nenv, nslot], src) if isinstance(src, Batch) else src[nenv, nslot]
+        return batch
+
+    def _stacked(self, state: BufferState, flat_idx: jnp.ndarray, key: str, stack: int) -> jnp.ndarray:
+        indices = flat_idx
+        frames = []
+        for _ in range(stack):
+            env, slot = self._split(indices)
+            src = state.data[key]
+            frames.append(jax.tree.map(lambda a: a[env, slot], src) if isinstance(src, Batch) else src[env, slot])
+            indices = self.prev(state, indices)
+        frames.reverse()  # oldest first, matching reference stack order
+        if isinstance(frames[0], Batch):
+            return Batch.stack(frames, axis=1)
+        return jnp.stack(frames, axis=1)
+
+    def sample(self, state: BufferState, key: jax.Array, batch_size: int) -> tuple[Batch, jnp.ndarray]:
+        idx = self.sample_indices(state, key, batch_size)
+        return self.get(state, idx), idx
+
+    # ------------------------------------------------------------------
+    def n_step_gather(
+        self, state: BufferState, flat_idx: jnp.ndarray, n: int
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Gather the n-step chain from each index.
+
+        Returns (rewards [n, B], episode_end [n, B], terminal_idx [B]) where
+        terminal_idx = next^{n-1}(idx), feeding
+        :func:`tianshou_tpu.ops.returns.nstep_returns` exactly like the
+        reference's ``compute_nstep_return`` (algorithm_base.py:721).
+        """
+        rews, ends = [], []
+        idx = flat_idx
+        for i in range(n):
+            env, slot = self._split(idx)
+            rews.append(state.data.rew[env, slot])
+            ends.append(state.data.done[env, slot])
+            if i < n - 1:
+                idx = self.next(state, idx)
+        return jnp.stack(rews), jnp.stack(ends).astype(jnp.float32), idx
+
+    # ------------------------------------------------------------------
+    def num_stored(self, state: BufferState) -> jnp.ndarray:
+        return state.size.sum()
+
+
+def VectorReplayBuffer(total_size: int, buffer_num: int, **kwargs) -> ReplayBuffer:
+    """Constructor matching the reference's ``VectorReplayBuffer`` signature
+    (data/buffer/vecbuf.py:15): total capacity split across ``buffer_num``
+    per-env rings."""
+    return ReplayBuffer(total_size, num_envs=buffer_num, **kwargs)

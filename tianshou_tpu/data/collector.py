@@ -1,0 +1,218 @@
+"""Device collector: the rollout engine as a single jitted ``lax.scan``.
+
+Rebuild of the reference's ``Collector._collect`` hot loop
+(data/collector.py:773-1067). The reference steps worker processes over
+pipes, converts obs numpy->torch per step, and bounces actions back
+(collector.py:739, net/common.py:173) — the main throughput limiter the
+survey identifies (SURVEY.md §3.4). Here policy forward, env step, buffer
+insert, episode bookkeeping and auto-reset are ONE fused XLA program: data
+never leaves the chip during collection.
+
+Episode semantics match the reference:
+- transitions store the raw policy action (pre ``map_action``), the true
+  terminal ``obs_next`` (pre-reset), terminated/truncated separately;
+- per-env episode return/length accumulators emit on done
+  (reference collector.py:554-578 R/N/D/S bookkeeping);
+- auto-reset replaces the carried obs with a fresh reset obs.
+
+``collect`` gathers a fixed number of steps per env (the device-native
+n_step mode). n_episode collection is host-chunked: see
+``collect_episodes`` which scans fixed chunks until enough episodes finish
+(SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.env.core import VectorDeviceEnv
+
+__all__ = ["CollectState", "CollectStats", "DeviceCollector"]
+
+
+class CollectState(NamedTuple):
+    env_state: Any
+    obs: Any
+    ep_rew: jnp.ndarray   # [E] running episode return
+    ep_len: jnp.ndarray   # [E] running episode length
+
+
+@dataclasses.dataclass
+class CollectStats:
+    """Host-side summary, mirroring reference CollectStats (collector.py:117)."""
+
+    n_collected_steps: int
+    n_collected_episodes: int
+    returns: np.ndarray
+    lens: np.ndarray
+
+    @property
+    def returns_stat(self):
+        r = self.returns
+        return None if len(r) == 0 else {"mean": float(r.mean()), "std": float(r.std()), "max": float(r.max()), "min": float(r.min())}
+
+    @property
+    def lens_stat(self):
+        l = self.lens
+        return None if len(l) == 0 else {"mean": float(l.mean()), "std": float(l.std())}
+
+
+class DeviceCollector:
+    """Collects rollouts from a :class:`VectorDeviceEnv` with a jitted scan.
+
+    Parameters mirror the reference Collector (policy, env, buffer); the
+    buffer may be ``None`` for pure on-policy collection where the rollout
+    batch is consumed directly.
+    """
+
+    def __init__(self, venv: VectorDeviceEnv, algo, buffer=None) -> None:
+        self.venv = venv
+        self.algo = algo
+        self.buffer = buffer
+        self._collect_jit: dict = {}
+
+    # ------------------------------------------------------------------
+    def reset(self, key: jax.Array) -> CollectState:
+        env_state, obs = self.venv.reset(key)
+        E = self.venv.num_envs
+        return CollectState(env_state, obs, jnp.zeros(E), jnp.zeros(E, jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, ts, carry, key, training: bool, store: bool, keep_rollout: bool):
+        cstate, buf_state = carry
+        k_act, k_noise, k_env, k_reset = jax.random.split(key, 4)
+        out = self.algo.forward(ts, cstate.obs, k_act, deterministic=not training)
+        act = out.act
+        if training:
+            act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise)
+        env_act = self.algo.map_action(act)
+        step = self.venv.step(cstate.env_state, env_act, k_env)
+        done = step.terminated | step.truncated
+        transition = Batch(
+            obs=cstate.obs,
+            act=act,
+            rew=step.reward,
+            terminated=step.terminated,
+            truncated=step.truncated,
+            obs_next=step.obs,
+        )
+        if store and self.buffer is not None:
+            buf_state, _ = self.buffer.add(buf_state, transition)
+        ep_rew = cstate.ep_rew + step.reward
+        ep_len = cstate.ep_len + 1
+        emit_ret = jnp.where(done, ep_rew, 0.0)
+        emit_len = jnp.where(done, ep_len, 0)
+        # auto-reset finished envs
+        reset_state, reset_obs = self.venv.reset(k_reset)
+        def sel(new, old):
+            d = done.reshape(done.shape + (1,) * (new.ndim - done.ndim))
+            return jnp.where(d, new, old)
+        env_state = jax.tree.map(sel, reset_state, step.state)
+        obs = jax.tree.map(sel, reset_obs, step.obs)
+        new_cstate = CollectState(
+            env_state=env_state,
+            obs=obs,
+            ep_rew=jnp.where(done, 0.0, ep_rew),
+            ep_len=jnp.where(done, 0, ep_len),
+        )
+        per_step = Batch(done=done, ep_ret=emit_ret, ep_len=emit_len)
+        if keep_rollout:
+            per_step.rollout = transition
+        return (new_cstate, buf_state), per_step
+
+    def _build_collect(self, n_steps: int, training: bool, keep_rollout: bool):
+        store = self.buffer is not None
+
+        def run(ts, cstate, buf_state, key):
+            keys = jax.random.split(key, n_steps)
+
+            def body(carry, k):
+                return self._step_fn(ts, carry, k, training, store, keep_rollout)
+
+            (cstate, buf_state), out = jax.lax.scan(body, (cstate, buf_state), keys)
+            return cstate, buf_state, out
+
+        return jax.jit(run, donate_argnums=(2,) if store else ())
+
+    # ------------------------------------------------------------------
+    def collect(
+        self,
+        ts,
+        cstate: CollectState,
+        buf_state,
+        key: jax.Array,
+        n_steps: int,
+        training: bool = True,
+        keep_rollout: bool = False,
+    ):
+        """Collect ``n_steps`` per env. Returns (cstate, buf_state, out)
+        where ``out.done/ep_ret/ep_len`` are [T, E] device arrays and
+        ``out.rollout`` (if requested) is the time-major transition Batch.
+        """
+        sig = (n_steps, training, keep_rollout)
+        if sig not in self._collect_jit:
+            self._collect_jit[sig] = self._build_collect(*sig)
+        return self._collect_jit[sig](ts, cstate, buf_state, key)
+
+    # ------------------------------------------------------------------
+    def stats_from(self, out: Batch, max_episodes: int | None = None) -> CollectStats:
+        """Summarize a collect() output on host."""
+        done = np.asarray(out.done)
+        rets = np.asarray(out.ep_ret)[done]
+        lens = np.asarray(out.ep_len)[done]
+        if max_episodes is not None:
+            rets, lens = rets[:max_episodes], lens[:max_episodes]
+        return CollectStats(
+            n_collected_steps=int(done.size),
+            n_collected_episodes=int(done.sum() if max_episodes is None else len(rets)),
+            returns=rets,
+            lens=lens,
+        )
+
+    # ------------------------------------------------------------------
+    def collect_episodes(
+        self,
+        ts,
+        key: jax.Array,
+        n_episodes: int,
+        chunk_steps: int = 128,
+        training: bool = False,
+        max_chunks: int = 100,
+    ) -> CollectStats:
+        """Collect at least ``n_episodes`` finished episodes (test phase).
+
+        Device scans run in fixed chunks; the host checks the episode count
+        between chunks (the static-shape answer to the reference's
+        data-dependent n_episode loop, collector.py:1049-1067). Fresh reset
+        before starting, like the reference test collector.
+        """
+        key, rk = jax.random.split(key)
+        cstate = self.reset(rk)
+        all_rets: list[np.ndarray] = []
+        all_lens: list[np.ndarray] = []
+        steps = 0
+        for _ in range(max_chunks):
+            key, ck = jax.random.split(key)
+            cstate, _, out = self.collect(
+                ts, cstate, None, ck, chunk_steps, training=training
+            )
+            done = np.asarray(out.done)
+            all_rets.append(np.asarray(out.ep_ret)[done])
+            all_lens.append(np.asarray(out.ep_len)[done])
+            steps += done.size
+            if sum(len(r) for r in all_rets) >= n_episodes:
+                break
+        rets = np.concatenate(all_rets)[:n_episodes]
+        lens = np.concatenate(all_lens)[:n_episodes]
+        return CollectStats(
+            n_collected_steps=steps,
+            n_collected_episodes=len(rets),
+            returns=rets,
+            lens=lens,
+        )

@@ -1,0 +1,118 @@
+"""Continuous-control actors and critics (reference utils/net/continuous.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tianshou_tpu.models.mlp import MLP
+
+__all__ = [
+    "ContinuousActorDeterministic",
+    "ContinuousActorProbabilistic",
+    "ContinuousCritic",
+    "Perturbation",
+    "VAE",
+]
+
+SIGMA_MIN, SIGMA_MAX = -20.0, 2.0  # reference continuous.py:25
+
+
+class ContinuousActorDeterministic(nn.Module):
+    """obs -> tanh-bounded action * max_action (reference continuous.py:32)."""
+
+    hidden_sizes: Sequence[int]
+    action_dim: int
+    max_action: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
+        x = MLP(self.hidden_sizes, self.action_dim)(obs)
+        return self.max_action * nn.tanh(x)
+
+
+class ContinuousActorProbabilistic(nn.Module):
+    """obs -> (mu, sigma) Gaussian params (reference continuous.py:172).
+
+    ``conditioned_sigma``: sigma is a network head; otherwise a learned
+    state-independent log-sigma parameter (clamped to [SIGMA_MIN, SIGMA_MAX]).
+    """
+
+    hidden_sizes: Sequence[int]
+    action_dim: int
+    conditioned_sigma: bool = False
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        feat = MLP(self.hidden_sizes)(obs)
+        mu = nn.Dense(self.action_dim)(feat)
+        if self.conditioned_sigma:
+            log_sigma = nn.Dense(self.action_dim)(feat)
+            log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)
+        else:
+            log_sigma = self.param("log_sigma", nn.initializers.zeros, (self.action_dim,))
+            log_sigma = jnp.broadcast_to(jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX), mu.shape)
+        return mu, jnp.exp(log_sigma)
+
+
+class ContinuousCritic(nn.Module):
+    """(obs, act?) -> scalar value (reference continuous.py:99)."""
+
+    hidden_sizes: Sequence[int]
+    use_action: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, act: jnp.ndarray | None = None) -> jnp.ndarray:
+        x = obs.reshape(obs.shape[0], -1)
+        if self.use_action and act is not None:
+            x = jnp.concatenate([x, act.reshape(act.shape[0], -1)], axis=-1)
+        return MLP(self.hidden_sizes, 1)(x)[:, 0]
+
+
+class Perturbation(nn.Module):
+    """BCQ action perturbation net (reference continuous.py:378)."""
+
+    hidden_sizes: Sequence[int]
+    action_dim: int
+    max_action: float = 1.0
+    phi: float = 0.05
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, act: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([obs, act], axis=-1)
+        noise = self.phi * self.max_action * nn.tanh(MLP(self.hidden_sizes, self.action_dim)(x))
+        return jnp.clip(act + noise, -self.max_action, self.max_action)
+
+
+class VAE(nn.Module):
+    """Conditional VAE for BCQ (reference continuous.py:415)."""
+
+    encoder_hidden: Sequence[int]
+    decoder_hidden: Sequence[int]
+    action_dim: int
+    latent_dim: int
+    max_action: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, act: jnp.ndarray, key) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        import jax
+
+        h = MLP(self.encoder_hidden)(jnp.concatenate([obs, act], axis=-1))
+        mean = nn.Dense(self.latent_dim)(h)
+        log_std = jnp.clip(nn.Dense(self.latent_dim)(h), -4, 15)
+        std = jnp.exp(log_std)
+        z = mean + std * jax.random.normal(key, mean.shape)
+        recon = self.decode(obs, z)
+        return recon, mean, std
+
+    def decode(self, obs: jnp.ndarray, z: jnp.ndarray | None = None, key=None) -> jnp.ndarray:
+        import jax
+
+        if z is None:
+            z = jnp.clip(jax.random.normal(key, (obs.shape[0], self.latent_dim)) * 0.5, -0.5, 0.5)
+        h = MLP(self.decoder_hidden, self.action_dim, flatten_input=False)(
+            jnp.concatenate([obs, z], axis=-1)
+        )
+        return self.max_action * nn.tanh(h)

@@ -47,7 +47,8 @@ class SegmentTree:
         """Set leaves at ``index`` to ``value`` and repair ancestors.
 
         index: int array [k]; value: float array [k]. Last write wins on
-        duplicate indices.
+        duplicate indices. Indices outside [0, size) are dropped, so callers
+        can pass -1 sentinels for masked-out updates.
         """
         index = jnp.atleast_1d(jnp.asarray(index, dtype=jnp.int32))
         value = jnp.atleast_1d(jnp.asarray(value, dtype=jnp.float32))
@@ -58,8 +59,9 @@ class SegmentTree:
         s_idx = index[order]
         s_val = value[order]
         is_last = jnp.concatenate([s_idx[1:] != s_idx[:-1], jnp.ones((1,), bool)])
+        valid = is_last & (s_idx >= 0) & (s_idx < self.size)
         oob = 2 * bound  # drop sentinel
-        leaf_pos = jnp.where(is_last, s_idx + bound, oob)
+        leaf_pos = jnp.where(valid, s_idx + bound, oob)
         tree = tree.at[leaf_pos].set(s_val, mode="drop")
 
         # repair ancestors level by level

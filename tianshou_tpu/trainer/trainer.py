@@ -1,0 +1,381 @@
+"""Trainers: host-side epoch orchestration over jitted device megasteps.
+
+Rebuild of the reference ``tianshou/trainer.py``: ``Trainer`` (:354),
+``OffPolicyTrainer`` (:1043), ``OnPolicyTrainer`` (:1098), ``OfflineTrainer``
+(:780) and the ``TrainerParams`` dataclasses (:81-347). Epoch semantics,
+test-step/stop_fn/save hooks and the update cadence (``update_per_step`` for
+off-policy, ``repeat`` epochs for on-policy) are preserved; the inner loops
+are fused: collection is one ``lax.scan`` and the gradient-step burst is a
+second scan, so an epoch is a handful of device calls rather than thousands
+of python iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.collector import CollectStats, DeviceCollector
+
+__all__ = [
+    "TrainerParams",
+    "OffPolicyTrainerParams",
+    "OnPolicyTrainerParams",
+    "OfflineTrainerParams",
+    "OffPolicyTrainer",
+    "OnPolicyTrainer",
+    "OfflineTrainer",
+    "TrainResult",
+]
+
+
+@dataclasses.dataclass
+class TrainerParams:
+    """Common knobs (reference trainer.py:81)."""
+
+    max_epochs: int = 10
+    epoch_num_steps: int = 10000          # env steps per epoch (total across envs)
+    test_step_num_episodes: int = 10
+    stop_fn: Callable[[float], bool] | None = None
+    compute_score_fn: Callable[[CollectStats], float] | None = None
+    save_best_fn: Callable[[Any], None] | None = None
+    save_checkpoint_fn: Callable[[int, int, int, Any], None] | None = None
+    train_fn: Callable[[int, int], dict] | None = None   # -> hparam overrides
+    test_fn: Callable[[int, int], dict] | None = None
+    logger: Any = None
+    verbose: bool = True
+    show_progress: bool = False
+    test_in_train: bool = False
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class OffPolicyTrainerParams(TrainerParams):
+    batch_size: int = 64
+    collection_step_num_env_steps: int = 10   # steps per env per collect chunk
+    update_per_step: float = 1.0              # grad steps per collected env step
+    start_steps: int = 0                      # prefill before learning
+    start_random: bool = True
+
+
+@dataclasses.dataclass
+class OnPolicyTrainerParams(TrainerParams):
+    batch_size: int = 64
+    collection_step_num_env_steps: int = 128  # rollout length per env
+    update_step_num_repetitions: int = 1      # passes over each rollout
+
+
+@dataclasses.dataclass
+class OfflineTrainerParams(TrainerParams):
+    batch_size: int = 64
+    update_step_num_gradient_steps_per_epoch: int = 500
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """Summary, mirroring reference InfoStats (data/stats.py:83)."""
+
+    best_score: float
+    best_reward: float
+    env_step: int
+    gradient_step: int
+    epochs: int
+    train_time: float
+    timing: dict
+    train_state: Any = None
+    buf_state: Any = None
+
+
+def _split_host(key):
+    k1, k2 = jax.random.split(key)
+    return k1, k2
+
+
+class _TrainerBase:
+    def __init__(self, algo, params: TrainerParams) -> None:
+        self.algo = algo
+        self.params = params
+        self.env_step = 0
+        self.gradient_step = 0
+        self.best_reward = -np.inf
+        self.best_score = -np.inf
+
+    # ------------------------------------------------------------------
+    def _test(self, ts, test_collector: DeviceCollector, key) -> CollectStats:
+        p = self.params
+        if p.test_fn is not None:
+            ts = self._apply_hparams(ts, p.test_fn(self._epoch, self.env_step))
+        return test_collector.collect_episodes(ts, key, p.test_step_num_episodes, training=False)
+
+    def _apply_hparams(self, ts, overrides: dict | None):
+        if not overrides:
+            return ts
+        hp = ts.hparams.copy()
+        for k, v in overrides.items():
+            hp[k] = jnp.float32(v)
+        return ts.replace(hparams=hp)
+
+    def _score(self, stats: CollectStats) -> float:
+        if self.params.compute_score_fn is not None:
+            return self.params.compute_score_fn(stats)
+        return float(stats.returns.mean()) if len(stats.returns) else -np.inf
+
+    def _log_test(self, stats: CollectStats, epoch: int) -> bool:
+        """Track best; returns True if stop condition met."""
+        rew = float(stats.returns.mean()) if len(stats.returns) else -np.inf
+        score = self._score(stats)
+        if score > self.best_score:
+            self.best_score = score
+            self.best_reward = rew
+            if self.params.save_best_fn is not None:
+                self.params.save_best_fn(self._ts)
+        if self.params.logger is not None:
+            self.params.logger.log_test_data(
+                {"test/reward": rew, "test/reward_std": float(stats.returns.std()) if len(stats.returns) else 0.0,
+                 "test/length": float(stats.lens.mean()) if len(stats.lens) else 0.0,
+                 "test/n_episodes": stats.n_collected_episodes},
+                self.env_step,
+            )
+        if self.params.verbose:
+            print(f"Epoch {epoch}: test_reward {rew:.2f} (best {self.best_reward:.2f}), env_step {self.env_step}")
+        return self.params.stop_fn is not None and self.params.stop_fn(rew)
+
+
+class OffPolicyTrainer(_TrainerBase):
+    """Collect chunk -> burst of gradient steps, repeated (reference :1043)."""
+
+    def __init__(self, algo, train_collector: DeviceCollector, test_collector: DeviceCollector,
+                 buffer, params: OffPolicyTrainerParams) -> None:
+        super().__init__(algo, params)
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.buffer = buffer
+        self._update_many = None
+
+    def _build_update_many(self, n_updates: int, batch_size: int):
+        algo, buffer = self.algo, self.buffer
+
+        def update_many(ts, buf_state, key):
+            def body(carry, k):
+                ts, buf_state = carry
+                ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, batch_size)
+                scalars = Batch(loss=stats.get("loss", jnp.float32(0.0)))
+                return (ts, buf_state), scalars
+
+            (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n_updates))
+            return ts, buf_state, stats
+
+        return jax.jit(update_many, donate_argnums=(0, 1))
+
+    def run(self, ts, buf_state, key) -> TrainResult:
+        p: OffPolicyTrainerParams = self.params
+        t0 = time.time()
+        collect_time = update_time = test_time = 0.0
+        key, k = _split_host(key)
+        cstate = self.train_collector.reset(k)
+        E = self.train_collector.venv.num_envs
+        T = p.collection_step_num_env_steps
+        self._ts = ts
+
+        # prefill with random actions (reference start_timesteps, experiment.py:444)
+        if p.start_steps > 0:
+            n_chunks = int(np.ceil(p.start_steps / (T * E)))
+            saved_eps = None
+            if p.start_random and "eps_training" in ts.hparams:
+                saved_eps = float(ts.hparams.eps_training)
+                ts = self._apply_hparams(ts, {"eps_training": 1.0})
+            for _ in range(n_chunks):
+                key, k = _split_host(key)
+                cstate, buf_state, _ = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                self.env_step += T * E
+            if saved_eps is not None:
+                ts = self._apply_hparams(ts, {"eps_training": saved_eps})
+
+        n_updates = max(1, round(p.update_per_step * T * E))
+        update_fn = self._build_update_many(n_updates, p.batch_size)
+
+        stop = False
+        for epoch in range(1, p.max_epochs + 1):
+            self._epoch = epoch
+            steps_this_epoch = 0
+            while steps_this_epoch < p.epoch_num_steps:
+                if p.train_fn is not None:
+                    ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
+                tc = time.time()
+                key, k = _split_host(key)
+                cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                jax.block_until_ready(out.done)
+                collect_time += time.time() - tc
+                self.env_step += T * E
+                steps_this_epoch += T * E
+                if self.params.logger is not None:
+                    stats = self.train_collector.stats_from(out)
+                    if stats.n_collected_episodes:
+                        self.params.logger.log_train_data(
+                            {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
+                            self.env_step,
+                        )
+                tu = time.time()
+                key, k = _split_host(key)
+                ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
+                jax.block_until_ready(ts.step)
+                update_time += time.time() - tu
+                self.gradient_step += n_updates
+                self._ts = ts
+            tt = time.time()
+            key, k = _split_host(key)
+            test_stats = self._test(ts, self.test_collector, k)
+            test_time += time.time() - tt
+            stop = self._log_test(test_stats, epoch)
+            if p.save_checkpoint_fn is not None:
+                p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
+            if stop:
+                break
+        return TrainResult(
+            best_score=self.best_score,
+            best_reward=self.best_reward,
+            env_step=self.env_step,
+            gradient_step=self.gradient_step,
+            epochs=epoch,
+            train_time=time.time() - t0,
+            timing={"collect": collect_time, "update": update_time, "test": test_time},
+            train_state=ts,
+            buf_state=buf_state,
+        )
+
+
+class OnPolicyTrainer(_TrainerBase):
+    """Rollout -> full-batch update with minibatch repeats (reference :1098).
+
+    The rollout never touches a replay buffer: ``collect(keep_rollout=True)``
+    hands the time-major batch straight to ``algo.update_rollout``.
+    """
+
+    def __init__(self, algo, train_collector: DeviceCollector, test_collector: DeviceCollector,
+                 params: OnPolicyTrainerParams) -> None:
+        super().__init__(algo, params)
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self._update_jit = None
+
+    def run(self, ts, key) -> TrainResult:
+        p: OnPolicyTrainerParams = self.params
+        t0 = time.time()
+        key, k = _split_host(key)
+        cstate = self.train_collector.reset(k)
+        E = self.train_collector.venv.num_envs
+        T = p.collection_step_num_env_steps
+        self._ts = ts
+        algo = self.algo
+
+        if self._update_jit is None:
+            self._update_jit = jax.jit(
+                lambda ts, rollout, key: algo.update_rollout(
+                    ts, rollout, key, repeat=p.update_step_num_repetitions, batch_size=p.batch_size
+                ),
+                donate_argnums=(0,),
+            )
+
+        stop = False
+        for epoch in range(1, p.max_epochs + 1):
+            self._epoch = epoch
+            steps_this_epoch = 0
+            while steps_this_epoch < p.epoch_num_steps:
+                if p.train_fn is not None:
+                    ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
+                key, k = _split_host(key)
+                cstate, _, out = self.train_collector.collect(
+                    ts, cstate, None, k, T, training=True, keep_rollout=True
+                )
+                self.env_step += T * E
+                steps_this_epoch += T * E
+                if self.params.logger is not None:
+                    stats = self.train_collector.stats_from(out)
+                    if stats.n_collected_episodes:
+                        self.params.logger.log_train_data(
+                            {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
+                            self.env_step,
+                        )
+                key, k = _split_host(key)
+                ts, upd_stats = self._update_jit(ts, out.rollout, k)
+                self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
+                self._ts = ts
+            key, k = _split_host(key)
+            test_stats = self._test(ts, self.test_collector, k)
+            stop = self._log_test(test_stats, epoch)
+            if p.save_checkpoint_fn is not None:
+                p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
+            if stop:
+                break
+        return TrainResult(
+            best_score=self.best_score,
+            best_reward=self.best_reward,
+            env_step=self.env_step,
+            gradient_step=self.gradient_step,
+            epochs=epoch,
+            train_time=time.time() - t0,
+            timing={},
+            train_state=ts,
+        )
+
+
+class OfflineTrainer(_TrainerBase):
+    """Fixed-dataset training (reference :780)."""
+
+    def __init__(self, algo, buffer, test_collector: DeviceCollector | None,
+                 params: OfflineTrainerParams) -> None:
+        super().__init__(algo, params)
+        self.buffer = buffer
+        self.test_collector = test_collector
+
+    def run(self, ts, buf_state, key) -> TrainResult:
+        p: OfflineTrainerParams = self.params
+        t0 = time.time()
+        algo, buffer = self.algo, self.buffer
+        n = p.update_step_num_gradient_steps_per_epoch
+        self._ts = ts
+
+        def update_many(ts, buf_state, key):
+            def body(carry, k):
+                ts, buf_state = carry
+                ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, p.batch_size)
+                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+
+            (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n))
+            return ts, buf_state, stats
+
+        update_fn = jax.jit(update_many, donate_argnums=(0,))
+
+        stop = False
+        for epoch in range(1, p.max_epochs + 1):
+            self._epoch = epoch
+            key, k = _split_host(key)
+            ts, buf_state, _ = update_fn(ts, buf_state, k)
+            self.gradient_step += n
+            self._ts = ts
+            if self.test_collector is not None:
+                key, k = _split_host(key)
+                test_stats = self._test(ts, self.test_collector, k)
+                stop = self._log_test(test_stats, epoch)
+            if p.save_checkpoint_fn is not None:
+                p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
+            if stop:
+                break
+        return TrainResult(
+            best_score=self.best_score,
+            best_reward=self.best_reward,
+            env_step=0,
+            gradient_step=self.gradient_step,
+            epochs=epoch,
+            train_time=time.time() - t0,
+            timing={},
+            train_state=ts,
+            buf_state=buf_state,
+        )
