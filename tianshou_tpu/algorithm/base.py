@@ -208,9 +208,30 @@ class OnPolicyAlgorithm(Algorithm):
 
 
 class OffPolicyAlgorithm(Algorithm):
-    """Updates from replayed minibatches (reference :868)."""
+    """Updates from replayed minibatches (reference :868).
+
+    Subclasses that define ``_target_q(ts, obs_next, key)`` get n-step
+    bootstrapped targets for free via :meth:`preprocess` (the analogue of
+    ``Algorithm.compute_nstep_return``, algorithm_base.py:721).
+    """
 
     run_mode = "off_policy"
+    n_step: int = 1
+
+    def _target_q(self, ts: TrainState, obs_next: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def preprocess(self, ts, buffer, buf_state, batch: Batch, indices: jnp.ndarray, key: jax.Array) -> Batch:
+        from tianshou_tpu.ops.returns import nstep_returns, value_mask
+
+        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
+        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
+        terminal = buffer.get(buf_state, term_idx)
+        tq = self._target_q(ts, terminal.obs_next, key)
+        mask = value_mask(terminal.terminated.astype(jnp.float32))
+        tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
+        batch.returns = nstep_returns(rews, ends, tq, self.gamma)
+        return batch
 
 
 class OfflineAlgorithm(Algorithm):

@@ -24,7 +24,6 @@ from tianshou_tpu.algorithm.base import ActOut, OffPolicyAlgorithm, TrainState, 
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.buffer.prio import PrioritizedReplayBuffer
 from tianshou_tpu.env.core import Discrete, Space
-from tianshou_tpu.ops.returns import nstep_returns, value_mask
 
 __all__ = ["DQN", "QLearningOffPolicyAlgorithm"]
 
@@ -85,22 +84,7 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         return jnp.where(explore, rand_act, act)
 
     # ------------------------------------------------------------------
-    def _target_q(self, ts: TrainState, obs_next: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """max_a' Q_target(s', a') with optional double-DQN action selection;
-        overridden by distributional variants. Returns [B] (or [B, ...])."""
-        raise NotImplementedError
-
-    def preprocess(self, ts: TrainState, buffer, buf_state, batch: Batch, indices: jnp.ndarray, key: jax.Array) -> Batch:
-        """n-step return targets (reference compute_nstep_return :721)."""
-        rews, ends, term_idx = buffer.n_step_gather(
-            buf_state.base if hasattr(buf_state, "base") else buf_state, indices, self.n_step
-        )
-        terminal = buffer.get(buf_state, term_idx)
-        tq = self._target_q(ts, terminal.obs_next, key)
-        mask = value_mask(terminal.terminated.astype(jnp.float32))
-        tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
-        batch.returns = nstep_returns(rews, ends, tq, self.gamma)
-        return batch
+    # n-step target preprocessing inherited from OffPolicyAlgorithm.preprocess
 
     # ------------------------------------------------------------------
     def _sync_target(self, ts: TrainState) -> TrainState:

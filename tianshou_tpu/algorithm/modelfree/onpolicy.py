@@ -1,0 +1,180 @@
+"""Shared on-policy actor(-critic) machinery.
+
+Rebuild of the reference's ``ProbabilisticActorPolicy`` (modelfree/
+reinforce.py:68) + ``ActorCriticOnPolicyAlgorithm`` (modelfree/a2c.py:32):
+distribution construction from actor output, GAE over the rollout, and the
+repeat x minibatch update loop (trainer.py:1106, batch.py:1199 split) — all
+fused into a single jitted ``update_rollout`` with nested ``lax.scan``:
+outer scan over repeats, inner scan over shuffled minibatches.
+
+The rollout never enters a replay buffer: time-major [T, E] arrays from the
+collector feed GAE directly (SURVEY.md §7 design translation, row 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from tianshou_tpu.algorithm.base import ActOut, OnPolicyAlgorithm, TrainState
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.env.core import Discrete, Space
+from tianshou_tpu.models.distributions import Categorical, Normal
+from tianshou_tpu.ops.returns import gae_advantages
+
+__all__ = ["OnPolicyActorCritic"]
+
+
+class OnPolicyActorCritic(OnPolicyAlgorithm):
+    def __init__(
+        self,
+        actor: nn.Module,
+        critic: nn.Module | None,
+        action_space: Space,
+        optim: optax.GradientTransformation | None = None,
+        gamma: float = 0.99,
+        gae_lambda: float = 0.95,
+        return_standardization: bool = False,
+        advantage_normalization: bool = False,
+        ent_coef: float = 0.0,
+        vf_coef: float = 0.5,
+        deterministic_eval: bool = False,
+        **kwargs: Any,
+    ) -> None:
+        kwargs.setdefault("action_scaling", not isinstance(action_space, Discrete))
+        super().__init__(action_space=action_space, gamma=gamma, optim=optim, **kwargs)
+        self.actor = actor
+        self.critic = critic
+        self.gae_lambda = gae_lambda
+        self.return_standardization = return_standardization
+        self.advantage_normalization = advantage_normalization
+        self.ent_coef = ent_coef
+        self.vf_coef = vf_coef
+        self.deterministic_eval = deterministic_eval
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
+        obs = jnp.asarray(obs_example)[None]
+        k1, k2 = jax.random.split(key)
+        params = {"actor": self.actor.init(k1, obs)}
+        if self.critic is not None:
+            params["critic"] = self.critic.init(k2, obs)
+        return TrainState(
+            params=params,
+            target_params={},
+            opt_state=self.optim.init(params),
+            hparams=Batch(),
+            extra=Batch(),
+            step=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def _dist(self, params: Any, obs: jnp.ndarray):
+        out = self.actor.apply(params["actor"], obs)
+        if self.is_discrete:
+            return Categorical(logits=out)
+        mu, sigma = out
+        return Normal(loc=mu, scale=sigma)
+
+    def _value(self, params: Any, obs: jnp.ndarray) -> jnp.ndarray:
+        v = self.critic.apply(params["critic"], obs)
+        return v.reshape(v.shape[0])
+
+    def forward(self, ts: TrainState, obs: jnp.ndarray, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
+        dist = self._dist(ts.params, obs)
+        if deterministic and self.deterministic_eval:
+            act = dist.mode()
+        else:
+            act = dist.sample(key)
+        if self.is_discrete:
+            act = act.astype(jnp.int32)
+        return ActOut(act=act, state=state, info=Batch())
+
+    # ------------------------------------------------------------------
+    def process_rollout(self, ts: TrainState, rollout: Batch, key: jax.Array) -> Batch:
+        """Time-major rollout [T, E] -> flat training batch with targets.
+
+        GAE mirrors reference ``_add_returns_and_advantages`` (a2c.py:115)
+        incl. truncation-aware bootstrapping; the rollout boundary cuts the
+        advantage chain like the reference's unfinished-index handling
+        (algorithm_base.py:676-690).
+        """
+        T, E = rollout.rew.shape
+        obs_flat = rollout.obs.reshape((T * E,) + rollout.obs.shape[2:])
+        obs_next_flat = rollout.obs_next.reshape((T * E,) + rollout.obs_next.shape[2:])
+        term = rollout.terminated.astype(jnp.float32)
+        trunc = rollout.truncated.astype(jnp.float32)
+        end = jnp.maximum(term, trunc).at[-1].set(1.0)  # cut chain at boundary
+
+        batch = Batch(
+            obs=obs_flat,
+            act=rollout.act.reshape((T * E,) + rollout.act.shape[2:]),
+            rew=rollout.rew.reshape(T * E),
+        )
+        if self.critic is not None:
+            v_s = self._value(ts.params, obs_flat).reshape(T, E)
+            v_s_ = self._value(ts.params, obs_next_flat).reshape(T, E)
+            adv = gae_advantages(rollout.rew, v_s, v_s_, term, end, self.gamma, self.gae_lambda)
+            batch.v_s = v_s.reshape(T * E)
+            batch.adv = adv.reshape(T * E)
+            batch.returns = (adv + v_s).reshape(T * E)
+        else:
+            from tianshou_tpu.ops.returns import mc_return_to_go
+
+            ret = mc_return_to_go(rollout.rew, self.gamma, end)
+            batch.returns = ret.reshape(T * E)
+            batch.adv = batch.returns
+        if self.return_standardization:
+            r = batch.returns
+            batch.returns = (r - r.mean()) / (r.std() + 1e-8)
+            if self.critic is None:
+                batch.adv = batch.returns
+        # old log-probs for ratio methods (reference ppo.py:157 logp_old)
+        dist = self._dist(ts.params, batch.obs)
+        batch.logp_old = dist.log_prob(batch.act)
+        return batch
+
+    # ------------------------------------------------------------------
+    def loss_minibatch(self, params: Any, mb: Batch, key: jax.Array) -> tuple[jnp.ndarray, Batch]:
+        """Override per algorithm; returns (scalar loss, stats Batch)."""
+        raise NotImplementedError
+
+    def update_rollout(
+        self, ts: TrainState, rollout: Batch, key: jax.Array, repeat: int, batch_size: int
+    ) -> tuple[TrainState, Batch]:
+        """repeat x shuffled minibatches, one jitted program
+        (reference OnPolicyAlgorithm.update + PPO._update_with_batch)."""
+        k_proc, k_loop = jax.random.split(key)
+        batch = self.process_rollout(ts, rollout, k_proc)
+        N = batch.rew.shape[0]
+        n_mb = max(1, N // batch_size)
+        mb_size = N // n_mb
+
+        def repeat_body(carry, rkey):
+            ts = carry
+            k_perm, k_mb = jax.random.split(rkey)
+            perm = jax.random.permutation(k_perm, N)[: n_mb * mb_size].reshape(n_mb, mb_size)
+
+            def mb_body(ts, inp):
+                idx, k = inp
+                mb = batch[idx]
+                if self.advantage_normalization:
+                    mb.adv = (mb.adv - mb.adv.mean()) / (mb.adv.std() + 1e-8)
+                (loss, stats), grads = jax.value_and_grad(self.loss_minibatch, has_aux=True)(
+                    ts.params, mb, k
+                )
+                new_params, new_opt = self._apply_grads(self.optim, ts.params, grads, ts.opt_state)
+                ts = ts.replace(params=new_params, opt_state=new_opt, step=ts.step + 1)
+                return ts, stats
+
+            ts, stats = jax.lax.scan(mb_body, ts, (perm, jax.random.split(k_mb, n_mb)))
+            return ts, stats
+
+        ts, stats = jax.lax.scan(repeat_body, ts, jax.random.split(k_loop, repeat))
+        mean_stats = jax.tree.map(lambda x: x.mean(), stats)
+        mean_stats.n_grad_steps = jnp.int32(repeat * n_mb)
+        return ts, mean_stats

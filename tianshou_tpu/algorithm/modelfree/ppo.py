@@ -1,0 +1,66 @@
+"""PPO (proximal policy optimization, arXiv:1707.06347).
+
+Rebuild of reference ``modelfree/ppo.py:16``: clipped surrogate ratio, dual
+clip, value clip, per-minibatch advantage normalization, entropy bonus.
+``logp_old`` is computed once from the pre-update params
+(reference ppo.py:157) inside the jitted ``update_rollout``."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tianshou_tpu.algorithm.modelfree.a2c import A2C
+from tianshou_tpu.data.batch import Batch
+
+__all__ = ["PPO"]
+
+
+class PPO(A2C):
+    def __init__(
+        self,
+        actor,
+        critic,
+        action_space,
+        optim=None,
+        eps_clip: float = 0.2,
+        dual_clip: float | None = None,
+        value_clip: bool = False,
+        advantage_normalization: bool = True,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            actor=actor, critic=critic, action_space=action_space, optim=optim,
+            advantage_normalization=advantage_normalization, **kwargs,
+        )
+        assert dual_clip is None or dual_clip > 1.0
+        self.eps_clip = eps_clip
+        self.dual_clip = dual_clip
+        self.value_clip = value_clip
+
+    def loss_minibatch(self, params, mb: Batch, key: jax.Array):
+        dist = self._dist(params, mb.obs)
+        logp = dist.log_prob(mb.act)
+        ratio = jnp.exp(logp - mb.logp_old)
+        surr1 = ratio * mb.adv
+        surr2 = jnp.clip(ratio, 1.0 - self.eps_clip, 1.0 + self.eps_clip) * mb.adv
+        if self.dual_clip is not None:
+            clip1 = jnp.minimum(surr1, surr2)
+            clip2 = jnp.maximum(clip1, self.dual_clip * mb.adv)
+            clip_loss = -jnp.where(mb.adv < 0, clip2, clip1).mean()
+        else:
+            clip_loss = -jnp.minimum(surr1, surr2).mean()
+        v = self._value(params, mb.obs)
+        if self.value_clip:
+            v_clip = mb.v_s + jnp.clip(v - mb.v_s, -self.eps_clip, self.eps_clip)
+            vf1 = (mb.returns - v) ** 2
+            vf2 = (mb.returns - v_clip) ** 2
+            vf_loss = jnp.maximum(vf1, vf2).mean()
+        else:
+            vf_loss = ((mb.returns - v) ** 2).mean()
+        ent = dist.entropy().mean()
+        loss = clip_loss + self.vf_coef * vf_loss - self.ent_coef * ent
+        return loss, Batch(
+            loss=loss, clip_loss=clip_loss, vf_loss=vf_loss, entropy=ent,
+            approx_kl=(mb.logp_old - logp).mean(),
+        )
