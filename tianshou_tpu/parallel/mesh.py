@@ -1,0 +1,87 @@
+"""Device-mesh scaling utilities.
+
+The reference scales with worker processes (``SubprocVectorEnv``), ray actors
+and ``nn.DataParallel`` (SURVEY.md §2b). Here scaling is SPMD over a
+``jax.sharding.Mesh``: the environment axis of the collector and the batch
+axis of updates are sharded across devices; parameters are replicated; XLA
+inserts the gradient all-reduces (psum over ICI) during partitioning. No
+hand-written communication layer exists or is needed — the same jitted
+collect->update program runs on 1 chip or N.
+
+``make_dp_train_step`` builds the data-parallel PPO-style megastep used by
+``__graft_entry__.dryrun_multichip`` and by multi-chip training runs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "replicate", "shard_leading", "make_dp_train_step"]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_leading(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def _constrain_leading(tree: Any, mesh: Mesh, axis_name: str) -> Any:
+    sh = NamedSharding(mesh, P(axis_name))
+
+    def c(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.lax.with_sharding_constraint(x, sh)
+        return x
+
+    return jax.tree.map(c, tree)
+
+
+def make_dp_train_step(algo, collector, mesh: Mesh, n_steps: int, repeat: int, batch_size: int, axis_name: str = "dp"):
+    """One data-parallel on-policy megastep: collect -> update_rollout.
+
+    Env-state/obs leaves are sharded on their leading (env) axis; the train
+    state is replicated. XLA partitions the whole program over the mesh and
+    emits psum for the gradient reduction — the analogue of the reference's
+    DataParallelNet (utils/net/common.py:473) without a replication wrapper.
+    """
+
+    def step(ts, cstate, key):
+        cstate = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis_name)))
+            if hasattr(x, "ndim") and x.ndim >= 1
+            else x,
+            cstate,
+        )
+        k1, k2 = jax.random.split(key)
+        (cstate, _), out = _collect_scan(ts, cstate, k1)
+        ts, stats = algo.update_rollout(ts, out.rollout, k2, repeat=repeat, batch_size=batch_size)
+        return ts, cstate, stats
+
+    def _collect_scan(ts, cstate, key):
+        keys = jax.random.split(key, n_steps)
+
+        def body(carry, k):
+            return collector._step_fn(ts, carry, k, training=True, store=False, keep_rollout=True)
+
+        return jax.lax.scan(body, (cstate, None), keys)
+
+    rep = replicate(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, None, rep),
+        out_shardings=(rep, None, None),
+    )
