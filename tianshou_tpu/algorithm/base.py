@@ -88,7 +88,9 @@ class Algorithm:
         self.gamma = gamma
         self.optim = optim if optim is not None else optax.adam(1e-3)
         self.lr_schedule = lr_schedule
-        self.is_discrete = isinstance(action_space, Discrete)
+        from tianshou_tpu.env.core import MultiDiscrete
+
+        self.is_discrete = isinstance(action_space, (Discrete, MultiDiscrete))
 
     # ------------------------------------------------------------------
     # construction

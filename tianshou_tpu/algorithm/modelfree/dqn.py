@@ -44,7 +44,9 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         eps_inference: float = 0.0,
         **kwargs: Any,
     ) -> None:
-        assert isinstance(action_space, Discrete)
+        from tianshou_tpu.env.core import MultiDiscrete
+
+        assert isinstance(action_space, (Discrete, MultiDiscrete))
         super().__init__(action_space=action_space, gamma=gamma, optim=optim, **kwargs)
         self.model = model
         self.n_step = n_step_return_horizon
@@ -91,8 +93,9 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         if not self.use_target:
             return ts
         sync = (ts.step % self.target_update_freq) == 0
+        online = {k: ts.params[k] for k in ts.target_params}
         new_target = jax.tree.map(
-            lambda t, o: jnp.where(sync, o, t), ts.target_params, ts.params
+            lambda t, o: jnp.where(sync, o, t), ts.target_params, online
         )
         return ts.replace(target_params=new_target)
 

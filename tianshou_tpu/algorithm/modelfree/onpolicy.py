@@ -133,15 +133,35 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
             batch.returns = (r - r.mean()) / (r.std() + 1e-8)
             if self.critic is None:
                 batch.adv = batch.returns
-        # old log-probs for ratio methods (reference ppo.py:157 logp_old)
+        # old log-probs + dist params for ratio/KL methods
+        # (reference ppo.py:157 logp_old; npg.py dist_old)
         dist = self._dist(ts.params, batch.obs)
         batch.logp_old = dist.log_prob(batch.act)
+        if self.is_discrete:
+            batch.dist_old = Batch(logits=dist.logits)
+        else:
+            batch.dist_old = Batch(loc=dist.loc, scale=dist.scale)
         return batch
+
+    def _dist_from_batch(self, b: Batch):
+        if self.is_discrete:
+            return Categorical(logits=b.logits)
+        return Normal(loc=b.loc, scale=b.scale)
 
     # ------------------------------------------------------------------
     def loss_minibatch(self, params: Any, mb: Batch, key: jax.Array) -> tuple[jnp.ndarray, Batch]:
         """Override per algorithm; returns (scalar loss, stats Batch)."""
         raise NotImplementedError
+
+    def _update_minibatch(self, ts: TrainState, mb: Batch, key: jax.Array) -> tuple[TrainState, Batch]:
+        """One minibatch update; default = gradient step on loss_minibatch.
+        NPG/TRPO override with natural-gradient steps."""
+        (loss, stats), grads = jax.value_and_grad(self.loss_minibatch, has_aux=True)(
+            ts.params, mb, key
+        )
+        new_params, new_opt = self._apply_grads(self.optim, ts.params, grads, ts.opt_state)
+        ts = ts.replace(params=new_params, opt_state=new_opt, step=ts.step + 1)
+        return ts, stats
 
     def update_rollout(
         self, ts: TrainState, rollout: Batch, key: jax.Array, repeat: int, batch_size: int
@@ -164,12 +184,7 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
                 mb = batch[idx]
                 if self.advantage_normalization:
                     mb.adv = (mb.adv - mb.adv.mean()) / (mb.adv.std() + 1e-8)
-                (loss, stats), grads = jax.value_and_grad(self.loss_minibatch, has_aux=True)(
-                    ts.params, mb, k
-                )
-                new_params, new_opt = self._apply_grads(self.optim, ts.params, grads, ts.opt_state)
-                ts = ts.replace(params=new_params, opt_state=new_opt, step=ts.step + 1)
-                return ts, stats
+                return self._update_minibatch(ts, mb, k)
 
             ts, stats = jax.lax.scan(mb_body, ts, (perm, jax.random.split(k_mb, n_mb)))
             return ts, stats

@@ -108,8 +108,10 @@ class DeviceCollector:
         ep_len = cstate.ep_len + 1
         emit_ret = jnp.where(done, ep_rew, 0.0)
         emit_len = jnp.where(done, ep_len, 0)
-        # auto-reset finished envs
+        # auto-reset finished envs (persistent sub-state like obs-norm
+        # statistics survives the reset via carry_through_reset)
         reset_state, reset_obs = self.venv.reset(k_reset)
+        reset_state = self.venv.carry_through_reset(step.state, reset_state)
         def sel(new, old):
             d = done.reshape(done.shape + (1,) * (new.ndim - done.ndim))
             return jnp.where(d, new, old)

@@ -129,6 +129,11 @@ class Env:
     def step(self, state: Any, action: jnp.ndarray, key: jax.Array) -> EnvStep:
         raise NotImplementedError
 
+    def carry_through_reset(self, old_state: Any, reset_state: Any) -> Any:
+        """Merge persistent sub-state (e.g. obs-norm statistics) into a fresh
+        reset state when the collector auto-resets a finished episode."""
+        return reset_state
+
     # Optional per-env info schema (fixed shapes) so scan carries are static.
     def empty_info(self) -> Any:
         from tianshou_tpu.data.batch import Batch
@@ -153,6 +158,7 @@ class VectorDeviceEnv:
         self.num_envs = num_envs
         self._reset = jax.vmap(env.reset)
         self._step = jax.vmap(env.step)
+        self.carry_through_reset = jax.vmap(env.carry_through_reset)
 
     @property
     def observation_space(self) -> Space:

@@ -71,6 +71,26 @@ class ContinuousCritic(nn.Module):
         return MLP(self.hidden_sizes, 1)(x)[:, 0]
 
 
+class EnsembleCritic(nn.Module):
+    """N independent Q(obs, act) critics evaluated as one batched einsum
+    (reference REDQ's EnsembleLinear stack, net/common.py:518). Output [N, B].
+    """
+
+    ensemble_size: int
+    hidden_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, act: jnp.ndarray) -> jnp.ndarray:
+        from tianshou_tpu.models.mlp import EnsembleLinear
+
+        x = jnp.concatenate([obs.reshape(obs.shape[0], -1), act.reshape(act.shape[0], -1)], axis=-1)
+        for h in self.hidden_sizes:
+            x = EnsembleLinear(self.ensemble_size, h)(x)
+            x = nn.relu(x)
+        x = EnsembleLinear(self.ensemble_size, 1)(x)
+        return x[..., 0]  # [N, B]
+
+
 class Perturbation(nn.Module):
     """BCQ action perturbation net (reference continuous.py:378)."""
 

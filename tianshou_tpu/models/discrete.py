@@ -81,6 +81,34 @@ class NoisyLinear(nn.Module):
         return x @ w + b
 
 
+class RainbowNet(nn.Module):
+    """Dueling noisy distributional head for Rainbow (reference
+    env/atari/atari_network.py:154 RainbowNet, utils/net/discrete.py:317
+    NoisyLinear): trunk MLP -> noisy value/advantage streams over atoms,
+    softmax over the atom axis. ``noise_key=None`` uses mean weights."""
+
+    hidden_sizes: Sequence[int]
+    action_dim: int
+    num_atoms: int = 51
+    sigma0: float = 0.5
+
+    def setup(self) -> None:
+        self.trunk = MLP(self.hidden_sizes)
+        h = self.hidden_sizes[-1]
+        self.v1 = NoisyLinear(h, self.sigma0)
+        self.v2 = NoisyLinear(self.num_atoms, self.sigma0)
+        self.a1 = NoisyLinear(h, self.sigma0)
+        self.a2 = NoisyLinear(self.action_dim * self.num_atoms, self.sigma0)
+
+    def __call__(self, obs: jnp.ndarray, noise_key: jax.Array | None = None) -> jnp.ndarray:
+        feat = self.trunk(obs)
+        ks = jax.random.split(noise_key, 4) if noise_key is not None else [None] * 4
+        v = self.v2(nn.relu(self.v1(feat, ks[0])), ks[1]).reshape(-1, 1, self.num_atoms)
+        a = self.a2(nn.relu(self.a1(feat, ks[2])), ks[3]).reshape(-1, self.action_dim, self.num_atoms)
+        logits = v + a - a.mean(axis=1, keepdims=True)
+        return nn.softmax(logits, axis=-1)
+
+
 class CosineEmbedding(nn.Module):
     """tau -> cosine feature embedding (reference discrete.py:126)."""
 
@@ -96,19 +124,37 @@ class CosineEmbedding(nn.Module):
 
 
 class ImplicitQuantileNetwork(nn.Module):
-    """IQN head (reference discrete.py:163): psi(obs) * phi(tau) -> Q(tau)."""
+    """IQN head (reference discrete.py:163): psi(obs) * phi(tau) -> Q(tau).
+
+    ``features``/``quantiles`` are exposed as separate methods sharing the
+    trunk params (used by FQF, reference FullQuantileFunction discrete.py:255).
+    """
 
     hidden_sizes: Sequence[int]
     action_dim: int
     num_cosines: int = 64
 
-    @nn.compact
+    def setup(self) -> None:
+        self.trunk = MLP(self.hidden_sizes)
+        feat_dim = self.hidden_sizes[-1]
+        self.cos_emb = CosineEmbedding(feat_dim, self.num_cosines)
+        self.merge = nn.Dense(feat_dim)
+        self.head = nn.Dense(self.action_dim)
+
+    def features(self, obs: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk(obs)
+
+    def quantiles(self, feat: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
+        tau_emb = self.cos_emb(taus)  # [B,K,F]
+        mixed = feat[:, None, :] * tau_emb
+        return self.head(nn.relu(self.merge(mixed)))  # [B, K, A]
+
     def __call__(self, obs: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
-        feat = MLP(self.hidden_sizes)(obs)  # [B, F]
-        tau_emb = CosineEmbedding(feat.shape[-1], self.num_cosines)(taus)  # [B,K,F]
-        mixed = feat[:, None, :] * tau_emb  # [B,K,F]
-        q = nn.Dense(self.action_dim)(nn.relu(nn.Dense(feat.shape[-1])(mixed)))
-        return q  # [B, K, A]
+        return self.quantiles(self.features(obs), taus)
+
+
+# FQF uses the same net; alias for reference-name parity (discrete.py:255)
+FullQuantileFunction = ImplicitQuantileNetwork
 
 
 class FractionProposalNetwork(nn.Module):
@@ -129,22 +175,6 @@ class FractionProposalNetwork(nn.Module):
         logp = jax.nn.log_softmax(logits, axis=-1)
         entropy = -(probs * logp).sum(-1)
         return tau, tau_hat, entropy
-
-
-class FullQuantileFunction(nn.Module):
-    """FQF quantile function sharing the IQN feature trunk
-    (reference discrete.py:255)."""
-
-    hidden_sizes: Sequence[int]
-    action_dim: int
-    num_cosines: int = 64
-
-    @nn.compact
-    def __call__(self, obs: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
-        return ImplicitQuantileNetwork(self.hidden_sizes, self.action_dim, self.num_cosines)(obs, taus)
-
-    def features(self, obs: jnp.ndarray) -> jnp.ndarray:
-        return MLP(self.hidden_sizes)(obs)
 
 
 class IntrinsicCuriosityModule(nn.Module):
