@@ -28,3 +28,102 @@ assert jax.device_count() == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# expert-data fixtures shared by offline / GAIL / imitation tests
+# (reference test/offline/gather_cartpole_data.py, gather_pendulum_data.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def cartpole_data():
+    import jax.numpy as jnp
+
+    from tests.helpers import make_collectors, transition_example
+    from tianshou_tpu.algorithm.modelfree.dqn import DQN
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.classic.cartpole import CartPole
+    from tianshou_tpu.env.core import VectorDeviceEnv
+    from tianshou_tpu.models.mlp import Net
+    from tianshou_tpu.trainer.trainer import OffPolicyTrainer, OffPolicyTrainerParams
+
+    env = CartPole()
+    algo = DQN(
+        model=Net(hidden_sizes=(64, 64), output_dim=2),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.97, n_step_return_horizon=3, target_update_freq=320, eps_training=0.3,
+    )
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(4))
+    buffer = VectorReplayBuffer(total_size=20000, buffer_num=10)
+    buf_state = buffer.init(transition_example(env))
+    tc, ec = make_collectors(env, algo, buffer)
+    params = OffPolicyTrainerParams(
+        max_epochs=12, epoch_num_steps=5000, test_step_num_episodes=10,
+        batch_size=64, collection_step_num_env_steps=10, update_per_step=0.1,
+        start_steps=1000, stop_fn=lambda r: r >= 195,
+        train_fn=lambda ep, step: {"eps_training": max(0.1, 0.3 * (1 - step / 30000))},
+        verbose=False,
+    )
+    res = OffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)
+    assert res.best_reward >= 195
+    # gather a fresh dataset with mild exploration (eps 0.2)
+    data_buffer = VectorReplayBuffer(total_size=20000, buffer_num=10)
+    dstate = data_buffer.init(transition_example(env))
+    ts2 = res.train_state.replace(hparams=res.train_state.hparams.copy())
+    ts2.hparams.eps_training = jnp.float32(0.2)
+    coll = DeviceCollector(VectorDeviceEnv(env, 10), algo, data_buffer)
+    key, kc, kr = jax.random.split(key, 3)
+    cstate = coll.reset(kr)
+    cstate, dstate, _ = coll.collect(ts2, cstate, dstate, kc, 2000, training=True)
+    return env, data_buffer, dstate
+
+
+@pytest.fixture(scope="session")
+def pendulum_data():
+    import jax.numpy as jnp
+
+    from tests.helpers import make_collectors, transition_example
+    from tianshou_tpu.algorithm.modelfree.sac import SAC
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.classic.pendulum import Pendulum
+    from tianshou_tpu.env.core import VectorDeviceEnv
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+    from tianshou_tpu.trainer.trainer import OffPolicyTrainer, OffPolicyTrainerParams
+
+    env = Pendulum()
+    algo = SAC(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(128, 128), action_dim=1, conditioned_sigma=True),
+        critic=ContinuousCritic(hidden_sizes=(128, 128)),
+        action_space=env.action_space,
+        policy_optim=AdamOptimizerFactory(lr=3e-4),
+        critic_optim=AdamOptimizerFactory(lr=3e-4),
+        gamma=0.99, tau=0.005, alpha="auto",
+    )
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(3))
+    buffer = VectorReplayBuffer(total_size=50000, buffer_num=8)
+    buf_state = buffer.init(transition_example(env))
+    tc, ec = make_collectors(env, algo, buffer, n_train=8)
+    params = OffPolicyTrainerParams(
+        max_epochs=12, epoch_num_steps=4000, test_step_num_episodes=10,
+        batch_size=128, collection_step_num_env_steps=8, update_per_step=0.5,
+        start_steps=2000, start_random=False, stop_fn=lambda r: r >= -250, verbose=False,
+    )
+    res = OffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)
+    assert res.best_reward >= -250
+    data_buffer = VectorReplayBuffer(total_size=20000, buffer_num=8)
+    dstate = data_buffer.init(transition_example(env))
+    coll = DeviceCollector(VectorDeviceEnv(env, 8), algo, data_buffer)
+    key, kc, kr = jax.random.split(key, 3)
+    cstate = coll.reset(kr)
+    cstate, dstate, _ = coll.collect(res.train_state, cstate, dstate, kc, 2500, training=True)
+    return env, data_buffer, dstate

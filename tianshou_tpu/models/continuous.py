@@ -115,13 +115,18 @@ class VAE(nn.Module):
     latent_dim: int
     max_action: float = 1.0
 
-    @nn.compact
+    def setup(self) -> None:
+        self.encoder = MLP(self.encoder_hidden)
+        self.mean_head = nn.Dense(self.latent_dim)
+        self.logstd_head = nn.Dense(self.latent_dim)
+        self.decoder = MLP(self.decoder_hidden, self.action_dim, flatten_input=False)
+
     def __call__(self, obs: jnp.ndarray, act: jnp.ndarray, key) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         import jax
 
-        h = MLP(self.encoder_hidden)(jnp.concatenate([obs, act], axis=-1))
-        mean = nn.Dense(self.latent_dim)(h)
-        log_std = jnp.clip(nn.Dense(self.latent_dim)(h), -4, 15)
+        h = self.encoder(jnp.concatenate([obs, act], axis=-1))
+        mean = self.mean_head(h)
+        log_std = jnp.clip(self.logstd_head(h), -4, 15)
         std = jnp.exp(log_std)
         z = mean + std * jax.random.normal(key, mean.shape)
         recon = self.decode(obs, z)
@@ -132,7 +137,5 @@ class VAE(nn.Module):
 
         if z is None:
             z = jnp.clip(jax.random.normal(key, (obs.shape[0], self.latent_dim)) * 0.5, -0.5, 0.5)
-        h = MLP(self.decoder_hidden, self.action_dim, flatten_input=False)(
-            jnp.concatenate([obs, z], axis=-1)
-        )
+        h = self.decoder(jnp.concatenate([obs, z], axis=-1))
         return self.max_action * nn.tanh(h)
