@@ -1,0 +1,143 @@
+"""HER buffer + CachedReplayBuffer tests (reference test/base/test_buffer.py
+test_herreplaybuffer:360 and cached-buffer coverage; HER training mirrors
+examples/mujoco/fetch_her_ddpg.py on the device GoalReach env)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import make_collectors
+from tianshou_tpu.algorithm.modelfree.ddpg import DDPG
+from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer.cached import CachedReplayBuffer
+from tianshou_tpu.data.buffer.her import HERVectorReplayBuffer
+from tianshou_tpu.env.classic.goal_reach import GoalReach
+from tianshou_tpu.exploration.noise import GaussianNoise
+from tianshou_tpu.models.mlp import MLP
+from tianshou_tpu.trainer.trainer import OffPolicyTrainer, OffPolicyTrainerParams
+
+
+def goal_tr(pos, goal, act, rew, term):
+    obs = Batch(observation=jnp.asarray(pos), achieved_goal=jnp.asarray(pos), desired_goal=jnp.asarray(goal))
+    return Batch(obs=obs, act=jnp.asarray(act), rew=jnp.float32(rew),
+                 terminated=jnp.bool_(term), truncated=jnp.bool_(False),
+                 obs_next=Batch(observation=jnp.asarray(pos) + 0.1, achieved_goal=jnp.asarray(pos) + 0.1,
+                                desired_goal=jnp.asarray(goal)))
+
+
+def test_her_relabel_semantics():
+    env = GoalReach()
+    buf = HERVectorReplayBuffer(
+        total_size=64, buffer_num=1, compute_reward_fn=env.compute_reward,
+        horizon=8, future_k=1e9,  # future_p ~ 1: always relabel
+    )
+    state = buf.init(goal_tr(np.zeros(2), np.ones(2), np.zeros(2), -1.0, False))
+    # one 5-step episode walking right
+    for i in range(5):
+        t = goal_tr(np.array([i * 0.1, 0.0]), np.array([5.0, 5.0]), np.zeros(2), -1.0, i == 4)
+        state, _ = buf.add(state, jax.tree.map(lambda x: jnp.asarray(x)[None], t))
+    batch, idx = buf.sample(state, jax.random.key(0), 32)
+    # relabeled desired goals must be achieved goals from within the episode
+    ag = np.asarray(state.data.obs_next.achieved_goal[0, :5])
+    dg = np.asarray(batch.obs.desired_goal)
+    for row in dg:
+        assert any(np.allclose(row, a) for a in ag), f"goal {row} not from episode"
+    # rewards recomputed with the env's own rule (distance < eps)
+    want = np.asarray(env.compute_reward(batch.obs_next.achieved_goal, batch.obs.desired_goal))
+    np.testing.assert_array_equal(np.asarray(batch.rew), want)
+
+
+class GoalActor(nn.Module):
+    hidden: tuple = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = jnp.concatenate([obs.observation, obs.desired_goal], axis=-1)
+        return nn.tanh(MLP(self.hidden, 2)(x))
+
+
+class GoalCritic(nn.Module):
+    hidden: tuple = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs, act):
+        x = jnp.concatenate([obs.observation, obs.desired_goal, act], axis=-1)
+        return MLP(self.hidden, 1)(x)[:, 0]
+
+
+def run_goal_ddpg(use_her: bool, epochs=8):
+    # hard sparse setting: random exploration almost never hits the goal
+    env = GoalReach(size=1.0, step_size=0.05, eps=0.05, max_episode_steps=60)
+    algo = DDPG(
+        actor=GoalActor(), critic=GoalCritic(),
+        action_space=env.action_space,
+        policy_optim=AdamOptimizerFactory(lr=1e-3),
+        critic_optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.98, tau=0.005,
+        exploration_noise=GaussianNoise(sigma=0.3),
+        action_scaling=False,
+    )
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    example = goal_tr(np.zeros(2), np.ones(2), np.zeros(2), -1.0, False)
+    ts = algo.init(k1, example.obs)
+    if use_her:
+        buffer = HERVectorReplayBuffer(
+            total_size=50000, buffer_num=8, compute_reward_fn=env.compute_reward,
+            horizon=60, future_k=8.0,
+        )
+    else:
+        from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+
+        buffer = VectorReplayBuffer(total_size=50000, buffer_num=8)
+    buf_state = buffer.init(example)
+    tc, ec = make_collectors(env, algo, buffer, n_train=8, n_test=10)
+    params = OffPolicyTrainerParams(
+        max_epochs=epochs, epoch_num_steps=4000, test_step_num_episodes=20,
+        batch_size=128, collection_step_num_env_steps=8, update_per_step=0.25,
+        start_steps=2000, start_random=False, verbose=False,
+        stop_fn=lambda r: r >= -12,
+    )
+    return OffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)
+
+
+def test_her_ddpg_beats_sparse_reward():
+    """The device analogue of the reference's HER table
+    (examples/mujoco/README.md:410: FetchReach -17.6 with HER vs -49.9
+    without)."""
+    res = run_goal_ddpg(use_her=True)
+    assert res.best_reward >= -20, f"HER best_reward {res.best_reward}"
+    res2 = run_goal_ddpg(use_her=False, epochs=4)
+    assert res.best_reward > res2.best_reward + 15, (
+        f"HER {res.best_reward} should clearly beat no-HER {res2.best_reward}"
+    )
+
+
+def test_cached_buffer_moves_finished_episodes():
+    buf = CachedReplayBuffer(main_size=32, num_envs=2, max_episode_len=8)
+    ex = Batch(obs=jnp.zeros(2), act=jnp.int32(0), rew=jnp.float32(0),
+               terminated=jnp.bool_(False), truncated=jnp.bool_(False), obs_next=jnp.zeros(2))
+    state = buf.init(ex)
+
+    def tr(o, done):
+        return Batch(
+            obs=jnp.array([[o, 0.0], [o + 100, 0.0]]),
+            act=jnp.zeros(2, jnp.int32),
+            rew=jnp.ones(2),
+            terminated=jnp.array([done, False]),
+            truncated=jnp.zeros(2, bool),
+            obs_next=jnp.array([[o + 1, 0.0], [o + 101, 0.0]]),
+        )
+
+    # env0 finishes a 3-step episode; env1 keeps going
+    for i, done in [(0, False), (1, False), (2, True)]:
+        state, info = buf.add(state, tr(float(i), done))
+    assert int(state.main.size[0]) == 3  # episode moved to main
+    np.testing.assert_allclose(np.asarray(state.main.data.obs[0, :3, 0]), [0, 1, 2])
+    assert int(state.cache.cursor[0]) == 0  # env0 cache reset
+    assert int(state.cache.cursor[1]) == 3  # env1 episode still caching
+    # sampling only sees finished episodes
+    idx = np.asarray(buf.sample_indices(state, jax.random.key(0), 64))
+    assert set(np.unique(idx)) <= {0, 1, 2}

@@ -63,6 +63,12 @@ def tree_copy(tree: Any) -> Any:
     return jax.tree.map(jnp.copy, tree)
 
 
+def batch_obs_example(obs_example: Any) -> Any:
+    """Add a leading batch dim to a single-obs example (array or pytree,
+    e.g. goal-structured Batch observations)."""
+    return jax.tree.map(lambda x: jnp.asarray(x)[None], obs_example)
+
+
 class Algorithm:
     """Base for all algorithms. Subclasses define the four pure methods and
     declare their nets in ``init``.
@@ -225,6 +231,18 @@ class OffPolicyAlgorithm(Algorithm):
 
     def preprocess(self, ts, buffer, buf_state, batch: Batch, indices: jnp.ndarray, key: jax.Array) -> Batch:
         from tianshou_tpu.ops.returns import nstep_returns, value_mask
+
+        if getattr(buffer, "relabels_on_sample", False):
+            # HER: goals/rewards were rewritten at sample time, so targets
+            # must come from the relabeled batch, not the raw buffer chain
+            # (1-step bootstrap; the reference relabels the buffer in place
+            # instead, her.py:100).
+            tq = self._target_q(ts, batch.obs_next, key)
+            mask = value_mask(batch.terminated.astype(jnp.float32))
+            tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
+            rew = batch.rew.reshape(batch.rew.shape + (1,) * (tq.ndim - 1))
+            batch.returns = (rew + self.gamma * tq).reshape(tq.shape) if tq.ndim > 1 else batch.rew + self.gamma * tq
+            return batch
 
         base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
         rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)

@@ -35,7 +35,8 @@ class ImitationLearning(OfflineAlgorithm):
         self.model = model
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         params = self.model.init(key, obs)
         return TrainState(
             params={"model": params},

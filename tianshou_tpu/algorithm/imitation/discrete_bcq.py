@@ -47,7 +47,8 @@ class DiscreteBCQ(OfflineAlgorithm):
         self.penalty = imitation_logits_penalty
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2 = jax.random.split(key)
         params = {"model": self.model.init(k1, obs), "imitator": self.imitator.init(k2, obs)}
         return TrainState(

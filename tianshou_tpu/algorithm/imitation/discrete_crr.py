@@ -48,7 +48,8 @@ class DiscreteCRR(OfflineAlgorithm):
         self.use_target = target_update_freq > 0
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2 = jax.random.split(key)
         params = {"actor": self.actor.init(k1, obs), "critic": self.critic.init(k2, obs)}
         return TrainState(

@@ -41,7 +41,8 @@ class GAIL(PPO):
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
         k1, k2 = jax.random.split(key)
         ts = super().init(k1, obs_example)
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         act = self.expert_act[:1]
         dparams = self.disc_net.init(k2, obs, act)
         return ts.replace(

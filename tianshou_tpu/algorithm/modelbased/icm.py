@@ -31,7 +31,8 @@ class _ICMMixin:
         self.forward_loss_weight = forward_loss_weight
 
     def _icm_init(self, ts: TrainState, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         act = jnp.zeros((1,), jnp.int32)
         iparams = self.icm_model.init(key, obs, act, obs)
         return ts.replace(
@@ -125,7 +126,8 @@ class ICMOnPolicyWrapper(OnPolicyAlgorithm, _ICMMixin):
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
         k1, k2 = jax.random.split(key)
         ts = self.wrapped.init(k1, obs_example)
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         act = jnp.zeros((1,), jnp.int32)
         iparams = self.icm_model.init(k2, obs, act, obs)
         return ts.replace(

@@ -58,7 +58,8 @@ class DiscreteSAC(OffPolicyAlgorithm):
         self.deterministic_eval = deterministic_eval
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2, k3 = jax.random.split(key, 3)
         params = {
             "actor": self.actor.init(k1, obs),

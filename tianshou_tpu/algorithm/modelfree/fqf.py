@@ -41,7 +41,8 @@ class FQF(QLearningOffPolicyAlgorithm):
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2 = jax.random.split(key)
         taus = jnp.linspace(0.0, 1.0, self.num_fractions)[None]
         m_params = self.model.init(k1, obs, taus)

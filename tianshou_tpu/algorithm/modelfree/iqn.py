@@ -79,7 +79,8 @@ class IQN(QLearningOffPolicyAlgorithm):
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
         # model init needs taus
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2 = jax.random.split(key)
         taus = jax.random.uniform(k2, (1, self.sample_size))
         params = self.model.init(k1, obs, taus)

@@ -58,7 +58,8 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         k1, k2 = jax.random.split(key)
         params = {"actor": self.actor.init(k1, obs)}
         if self.critic is not None:

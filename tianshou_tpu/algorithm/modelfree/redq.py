@@ -53,7 +53,8 @@ class REDQ(ContinuousOffPolicyBase):
         self.target_mode = target_mode
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         act = jnp.zeros((1,) + self.action_space.shape)
         k1, k2 = jax.random.split(key)
         params = {

@@ -33,7 +33,8 @@ class TD3(ContinuousOffPolicyBase):
         self.update_actor_freq = update_actor_freq
 
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
-        obs = jnp.asarray(obs_example)[None]
+        from tianshou_tpu.algorithm.base import batch_obs_example
+        obs = batch_obs_example(obs_example)
         act = jnp.zeros((1,) + self.action_space.shape)
         k1, k2, k3 = jax.random.split(key, 3)
         params = {

@@ -50,6 +50,8 @@ class ReplayBuffer:
     terminated, truncated, done, obs_next, plus optional info/policy subtrees.
     """
 
+    relabels_on_sample = False  # HER overrides: targets must use the batch
+
     def __init__(
         self,
         size: int,
