@@ -1,0 +1,156 @@
+"""Host env layer tests (reference test/base/test_env.py, test_collector.py):
+Dummy/Subproc vector envs over real Gymnasium envs, host collector n_step and
+n_episode semantics, async partial-wait, and end-to-end DQN training on
+Gymnasium CartPole-v1 through the host path."""
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import transition_example
+from tianshou_tpu.algorithm.modelfree.dqn import DQN
+from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+from tianshou_tpu.data.host_collector import HostCollector
+from tianshou_tpu.env.venvs import DummyVectorEnv, SubprocVectorEnv
+from tianshou_tpu.models.mlp import Net
+
+
+def make_cp():
+    return gym.make("CartPole-v1")
+
+
+def test_dummy_vector_env_basics():
+    venv = DummyVectorEnv([make_cp for _ in range(4)])
+    assert len(venv) == 4
+    obs, infos = venv.reset(seed=0)
+    assert obs.shape == (4, 4)
+    acts = np.zeros(4, np.int64)
+    obs, rew, term, trunc, infos = venv.step(acts)
+    assert obs.shape == (4, 4) and rew.shape == (4,)
+    assert infos[0]["env_id"] == 0
+    # partial step by id
+    obs2, rew2, *_ = venv.step(np.ones(2, np.int64), id=[1, 3])
+    assert obs2.shape == (2, 4)
+    # attribute forwarding
+    spaces = venv.get_env_attr("action_space")
+    assert spaces[0].n == 2
+    venv.close()
+
+
+def test_subproc_vector_env_matches_dummy():
+    d = DummyVectorEnv([make_cp for _ in range(2)])
+    s = SubprocVectorEnv([make_cp for _ in range(2)])
+    od, _ = d.reset(seed=7)
+    os_, _ = s.reset(seed=7)
+    np.testing.assert_allclose(od, os_, rtol=1e-6)
+    for _ in range(5):
+        a = np.random.randint(0, 2, size=2)
+        rd = d.step(a)
+        rs = s.step(a)
+        np.testing.assert_allclose(rd[0], rs[0], rtol=1e-6)
+        np.testing.assert_allclose(rd[1], rs[1])
+    d.close()
+    s.close()
+
+
+def test_async_wait_num():
+    venv = SubprocVectorEnv([make_cp for _ in range(4)], wait_num=2)
+    assert venv.is_async
+    venv.reset(seed=0)
+    obs, rew, term, trunc, infos = venv.step(np.zeros(4, np.int64), id=[0, 1, 2, 3])
+    # only wait_num results returned, each tagged with env_id
+    assert len(rew) >= 2
+    ids = [i["env_id"] for i in infos]
+    assert len(set(ids)) == len(ids)
+    venv.close()
+
+
+def _dqn_algo():
+    from tianshou_tpu.env.core import Discrete
+
+    return DQN(
+        model=Net(hidden_sizes=(64, 64), output_dim=2),
+        action_space=Discrete(2),
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.97, n_step_return_horizon=3, target_update_freq=320, eps_training=0.3,
+    )
+
+
+def test_host_collector_counts():
+    algo = _dqn_algo()
+    ts = algo.init(jax.random.key(0), jnp.zeros(4))
+    venv = DummyVectorEnv([make_cp for _ in range(3)])
+    buffer = VectorReplayBuffer(total_size=300, buffer_num=3)
+    coll = HostCollector(venv, algo, buffer)
+    coll.reset(seed=0)
+    coll.reset_buffer(
+        transition_example(type("E", (), {"observation_space": type("S", (), {"shape": (4,)})(), "action_space": algo.action_space})())
+    )
+    stats = coll.collect(ts, jax.random.key(1), n_step=30)
+    assert stats.n_collected_steps >= 30
+    assert int(coll.buf_state.size.sum()) >= 30
+    stats2 = coll.collect(ts, jax.random.key(2), n_episode=5, training=False)
+    assert stats2.n_collected_episodes == 5
+    assert len(stats2.returns) == 5
+    venv.close()
+
+
+def test_host_collector_random():
+    algo = _dqn_algo()
+    ts = algo.init(jax.random.key(0), jnp.zeros(4))
+    venv = DummyVectorEnv([make_cp for _ in range(2)])
+    coll = HostCollector(venv, algo, None)
+    coll.reset(seed=0)
+    stats = coll.collect(ts, jax.random.key(1), n_step=20, random=True)
+    assert stats.n_collected_steps >= 20
+    venv.close()
+
+
+def test_dqn_on_gymnasium_cartpole():
+    """End-to-end through the host path: the analogue of the reference's own
+    test_dqn (test/discrete/test_dqn.py) on the real Gymnasium env."""
+    algo = _dqn_algo()
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(4))
+    venv = DummyVectorEnv([make_cp for _ in range(10)])
+    test_venv = DummyVectorEnv([make_cp for _ in range(10)])
+    buffer = VectorReplayBuffer(total_size=20000, buffer_num=10)
+    coll = HostCollector(venv, algo, buffer)
+    coll.reset(seed=0)
+
+    class _E:
+        observation_space = type("S", (), {"shape": (4,)})()
+        action_space = algo.action_space
+
+    coll.reset_buffer(transition_example(_E()))
+    test_coll = HostCollector(test_venv, algo, None)
+
+    # prefill
+    key, k = jax.random.split(key)
+    coll.collect(ts, k, n_step=1000, random=True)
+    env_step = 1000
+    best = -np.inf
+    update_jit = jax.jit(lambda ts, bs, k: algo.update(ts, buffer, bs, k, 64))
+    for it in range(400):
+        key, k1, k2 = jax.random.split(key, 3)
+        ts = ts.replace(hparams=ts.hparams.copy())
+        ts.hparams.eps_training = jnp.float32(max(0.1, 0.3 * (1 - env_step / 20000)))
+        coll.collect(ts, k1, n_step=100)
+        env_step += 100
+        for _ in range(10):
+            key, ku = jax.random.split(key)
+            ts, coll.buf_state, _ = update_jit(ts, coll.buf_state, ku)
+        if it % 25 == 24:
+            key, kt = jax.random.split(key)
+            test_coll.reset(seed=int(it))
+            s = test_coll.collect(ts, kt, n_episode=10, training=False)
+            best = max(best, s.returns.mean())
+            if best >= 195:
+                break
+    venv.close()
+    test_venv.close()
+    assert best >= 195, f"best {best}"

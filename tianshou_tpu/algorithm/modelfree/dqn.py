@@ -74,15 +74,26 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         """Subclasses may reduce distributional output to scalar Q here."""
         return self.model.apply(params, obs)
 
+    @staticmethod
+    def _action_mask(obs) -> jnp.ndarray | None:
+        return obs.mask if isinstance(obs, Batch) and "mask" in obs else None
+
     def forward(self, ts: TrainState, obs: jnp.ndarray, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
         q = self._q(ts.params["model"], obs)
+        mask = self._action_mask(obs)
+        if mask is not None:  # invalid-action masking (reference dqn.py:145)
+            q = jnp.where(mask, q, -jnp.inf)
         act = jnp.argmax(q, axis=-1).astype(jnp.int32)
         return ActOut(act=act, state=state, info=Batch(q=q))
 
     def exploration_noise(self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """eps-greedy (reference dqn.py:153)."""
+        """eps-greedy, restricted to valid actions when masked (dqn.py:153)."""
         k1, k2 = jax.random.split(key)
-        rand_act = jax.random.randint(k1, act.shape, 0, self.action_space.n, dtype=act.dtype)
+        mask = self._action_mask(obs)
+        if mask is None:
+            rand_act = jax.random.randint(k1, act.shape, 0, self.action_space.n, dtype=act.dtype)
+        else:
+            rand_act = jax.random.categorical(k1, jnp.where(mask, 0.0, -jnp.inf), axis=-1).astype(act.dtype)
         explore = jax.random.uniform(k2, act.shape) < ts.hparams.eps_training
         return jnp.where(explore, rand_act, act)
 
@@ -110,8 +121,14 @@ class DQN(QLearningOffPolicyAlgorithm):
     def _target_q(self, ts: TrainState, obs_next: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         tparams = ts.target_params["model"] if self.use_target else ts.params["model"]
         q_t = self._q(tparams, obs_next)
+        mask = self._action_mask(obs_next)
+        if mask is not None:
+            q_t = jnp.where(mask, q_t, -1e9)
         if self.is_double:
-            a_star = jnp.argmax(self._q(ts.params["model"], obs_next), axis=-1)
+            q_sel = self._q(ts.params["model"], obs_next)
+            if mask is not None:
+                q_sel = jnp.where(mask, q_sel, -jnp.inf)
+            a_star = jnp.argmax(q_sel, axis=-1)
             return jnp.take_along_axis(q_t, a_star[:, None], axis=-1)[:, 0]
         return q_t.max(axis=-1)
 

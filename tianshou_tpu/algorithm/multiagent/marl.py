@@ -1,0 +1,107 @@
+"""Multi-agent RL dispatcher.
+
+Rebuild of reference ``tianshou/algorithm/multiagent/marl.py``:
+``MultiAgentPolicy`` (:74, dispatch by ``obs.agent_id``), ``MARLDispatcher``
+(:188, per-agent reward slicing) and ``MultiAgentOff/OnPolicyAlgorithm``
+(:268,:311).
+
+TPU-native difference: the reference slices each agent's rows out of the
+batch (dynamic shapes); here every agent updates on the FULL batch with a
+0/1 dispatch weight (``agent_id == agent``) — the same gradients with static
+shapes, so the whole multi-agent update stays one XLA program. Targets are
+1-step bootstraps from the sampled batch (the global next state, matching
+the reference's use of the shared buffer chain).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tianshou_tpu.algorithm.base import ActOut, OffPolicyAlgorithm, TrainState
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.ops.returns import value_mask
+
+__all__ = ["MultiAgentOffPolicyAlgorithm", "MARLRandomPolicy"]
+
+
+class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
+    """``algorithms``: list of per-agent off-policy algorithms (index =
+    agent_id). Observations must be Batches with keys agent_id/obs/mask."""
+
+    def __init__(self, algorithms: list[OffPolicyAlgorithm], action_space, **kwargs) -> None:
+        super().__init__(action_space=action_space, **kwargs)
+        self.algorithms = algorithms
+        self.n_agents = len(algorithms)
+
+    def init(self, key: jax.Array, obs_example: Any) -> dict:
+        keys = jax.random.split(key, self.n_agents)
+        return {f"agent{i}": algo.init(k, obs_example) for i, (algo, k) in enumerate(zip(self.algorithms, keys))}
+
+    # ------------------------------------------------------------------
+    def forward(self, ts: dict, obs: Batch, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
+        """Each agent computes actions for all rows; the agent_id column
+        selects (reference MultiAgentPolicy:74)."""
+        keys = jax.random.split(key, self.n_agents)
+        acts = None
+        for i, algo in enumerate(self.algorithms):
+            out = algo.forward(ts[f"agent{i}"], obs, keys[i], deterministic=deterministic)
+            acts = out.act if acts is None else jnp.where(obs.agent_id == i, out.act, acts)
+        return ActOut(act=acts, state=state, info=Batch())
+
+    def exploration_noise(self, ts: dict, act: jnp.ndarray, obs: Batch, key: jax.Array) -> jnp.ndarray:
+        keys = jax.random.split(key, self.n_agents)
+        for i, algo in enumerate(self.algorithms):
+            noisy = algo.exploration_noise(ts[f"agent{i}"], act, obs, keys[i])
+            act = jnp.where(obs.agent_id == i, noisy, act)
+        return act
+
+    def map_action(self, act: jnp.ndarray) -> jnp.ndarray:
+        return act
+
+    # ------------------------------------------------------------------
+    def update(self, ts: dict, buffer, buf_state, key: jax.Array, batch_size: int):
+        """Sample once, dispatch to every agent with masked weights
+        (reference MARLDispatcher.dispatch_update, marl.py:205)."""
+        k_sample, k_agents = jax.random.split(key)
+        batch, indices = buffer.sample(buf_state, k_sample, batch_size)
+        keys = jax.random.split(k_agents, self.n_agents)
+        stats = Batch()
+        for i, algo in enumerate(self.algorithms):
+            sub_ts = ts[f"agent{i}"]
+            b = batch.copy()
+            b.rew = batch.rew[:, i]  # per-agent reward column (marl.py:188)
+            is_mine = (batch.obs.agent_id == i).astype(jnp.float32)
+            k1, k2 = jax.random.split(keys[i])
+            tq = algo._target_q(sub_ts, b.obs_next, k1)
+            mask = value_mask(b.terminated.astype(jnp.float32))
+            b.returns = b.rew + algo.gamma * mask * tq.reshape(b.rew.shape)
+            b.weight = is_mine * b.get("weight", jnp.ones_like(is_mine))
+            sub_ts, sub_stats = algo.update_step(sub_ts, b, k2)
+            ts = {**ts, f"agent{i}": sub_ts}
+            stats[f"agent{i}"] = sub_stats
+        return ts, buf_state, stats
+
+
+class MARLRandomPolicy(OffPolicyAlgorithm):
+    """Mask-aware random baseline (reference algorithm/random.py:17)."""
+
+    def __init__(self, action_space, **kwargs) -> None:
+        super().__init__(action_space=action_space, **kwargs)
+
+    def init(self, key: jax.Array, obs_example: Any) -> TrainState:
+        return TrainState(params={}, target_params={}, opt_state={}, hparams=Batch(), extra=Batch(), step=jnp.int32(0))
+
+    def forward(self, ts, obs: Batch, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
+        mask = obs.mask if "mask" in obs else jnp.ones((obs.agent_id.shape[0], self.action_space.n), bool)
+        logits = jnp.where(mask, 0.0, -jnp.inf)
+        act = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return ActOut(act=act, state=state, info=Batch())
+
+    def update_step(self, ts, batch, key):
+        return ts, Batch()
+
+    def _target_q(self, ts, obs_next, key):
+        return jnp.zeros(obs_next.agent_id.shape[0])

@@ -43,6 +43,8 @@ def _convert_value(v: Any) -> Any:
         return Batch(v)
     if isinstance(v, _ARRAY_TYPES):
         return v
+    if isinstance(v, np.generic):  # numpy scalars -> 0-d arrays
+        return np.asarray(v)
     if hasattr(v, "shape") and hasattr(v, "dtype"):  # tracers, ShapeDtypeStruct, etc.
         return v
     if isinstance(v, (list, tuple)):
@@ -247,10 +249,10 @@ class Batch:
             vals = [b._d[k] for b in batches]
             if isinstance(vals[0], Batch):
                 out._d[k] = Batch.cat(vals, axis=axis)
-            elif isinstance(vals[0], np.ndarray):
-                out._d[k] = np.concatenate(vals, axis=axis)
-            else:
+            elif isinstance(vals[0], jax.Array):
                 out._d[k] = jnp.concatenate(vals, axis=axis)
+            else:
+                out._d[k] = np.concatenate(vals, axis=axis)
         return out
 
     def cat_(self, other: "Batch") -> None:
@@ -270,10 +272,10 @@ class Batch:
             vals = [b._d[k] for b in batches]
             if isinstance(vals[0], Batch):
                 out._d[k] = Batch.stack(vals, axis=axis)
-            elif isinstance(vals[0], np.ndarray):
-                out._d[k] = np.stack(vals, axis=axis)
-            else:
+            elif isinstance(vals[0], jax.Array):
                 out._d[k] = jnp.stack(vals, axis=axis)
+            else:
+                out._d[k] = np.stack(vals, axis=axis)
         return out
 
     def split(

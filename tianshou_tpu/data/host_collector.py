@@ -1,0 +1,170 @@
+"""Host collector: rollout engine for host (Gymnasium) vector envs.
+
+Mirrors the reference ``Collector`` semantics (data/collector.py:302-1067):
+n_step XOR n_episode collection, exploration noise, raw-action storage,
+episode return/length bookkeeping, surplus-env masking in n_episode mode
+(collector.py:1049), and ``CollectStats`` output. The policy forward runs
+jitted on the accelerator over the whole env batch; only obs/action batches
+cross the host boundary per step (the unavoidable cost of non-JAX envs —
+SURVEY.md §3.4).
+
+Random-action collection (reference ``RandomActionPolicy``,
+algorithm_base.py:1063) is supported via ``random=True``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.collector import CollectStats
+from tianshou_tpu.env.venvs import BaseVectorEnv
+
+__all__ = ["HostCollector"]
+
+
+class HostCollector:
+    def __init__(self, venv: BaseVectorEnv, algo, buffer=None) -> None:
+        self.venv = venv
+        self.algo = algo
+        self.buffer = buffer
+        self.buf_state = None
+        self._obs: np.ndarray | None = None
+        self._forward_jit: dict = {}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _to_obs(raw) -> Any:
+        """list-of-dict observations (multi-agent) -> stacked Batch."""
+        if isinstance(raw, list) and raw and isinstance(raw[0], dict):
+            return Batch(raw)
+        return np.asarray(raw)
+
+    def reset(self, seed: int | None = None) -> None:
+        obs, _ = self.venv.reset(seed=seed) if seed is not None else self.venv.reset()
+        self._obs = self._to_obs(obs)
+        E = len(self.venv)
+        self._ep_rew = None  # lazily shaped on the first reward (vector for MARL)
+        self._ep_len = np.zeros(E, np.int64)
+
+    def reset_buffer(self, example: Batch) -> None:
+        assert self.buffer is not None
+        self.buf_state = self.buffer.init(example)
+
+    # ------------------------------------------------------------------
+    def _forward(self, ts, obs_dev, key, training: bool):
+        if training not in self._forward_jit:
+            algo = self.algo
+
+            def fwd(ts, obs, key):
+                k1, k2 = jax.random.split(key)
+                out = algo.forward(ts, obs, k1, deterministic=not training)
+                act = out.act
+                if training:
+                    act = algo.exploration_noise(ts, act, obs, k2)
+                return act, algo.map_action(act)
+
+            self._forward_jit[training] = jax.jit(fwd)
+        return self._forward_jit[training](ts, obs_dev, key)
+
+    # ------------------------------------------------------------------
+    def collect(
+        self,
+        ts,
+        key: jax.Array,
+        n_step: int | None = None,
+        n_episode: int | None = None,
+        random: bool = False,
+        training: bool = True,
+        reset_before_collect: bool = False,
+    ) -> CollectStats:
+        assert (n_step is None) != (n_episode is None), "exactly one of n_step/n_episode"
+        if reset_before_collect or self._obs is None:
+            self.reset()
+        E = len(self.venv)
+        t0 = time.monotonic()
+        step_count = 0
+        ep_returns: list[float] = []
+        ep_lens: list[int] = []
+        active = np.ones(E, bool)
+        if n_episode is not None:
+            # surplus-env masking (reference collector.py:1049)
+            active = np.arange(E) < max(min(n_episode, E), 1)
+
+        while True:
+            key, k1 = jax.random.split(key)
+            if random:
+                space = self.venv.action_space
+                acts = np.stack([space.sample() for _ in range(E)])
+                raw_acts = acts
+            else:
+                obs_dev = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
+                raw, mapped = self._forward(ts, obs_dev, k1, training)
+                raw_acts = np.asarray(raw)
+                acts = np.asarray(mapped)
+            obs_next, rew, term, trunc, infos = self.venv.step(acts)
+            obs_next = self._to_obs(obs_next)
+            rew = np.asarray(rew)
+            done = np.logical_or(term, trunc)
+            if self._ep_rew is None:
+                self._ep_rew = np.zeros(rew.shape)
+
+            if self.buffer is not None:
+                obs_store = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
+                obs_next_store = obs_next.to_jax() if isinstance(obs_next, Batch) else jnp.asarray(obs_next)
+                transition = Batch(
+                    obs=obs_store,
+                    act=jnp.asarray(raw_acts),
+                    rew=jnp.asarray(rew),
+                    terminated=jnp.asarray(term),
+                    truncated=jnp.asarray(trunc),
+                    obs_next=obs_next_store,
+                )
+                self.buf_state, _ = self.buffer.add(
+                    self.buf_state, transition, mask=jnp.asarray(active)
+                )
+
+            act_bc = active if rew.ndim == 1 else active[:, None]
+            self._ep_rew += rew * act_bc
+            self._ep_len += active.astype(np.int64)
+            step_count += int(active.sum())
+
+            if done.any():
+                done_ids = np.where(done & active)[0]
+                for i in done_ids:
+                    # vector rewards (MARL): report agent-0 perspective
+                    r = self._ep_rew[i]
+                    ep_returns.append(float(r if np.ndim(r) == 0 else r[0]))
+                    ep_lens.append(int(self._ep_len[i]))
+                    self._ep_rew[i] = 0.0
+                    self._ep_len[i] = 0
+                if len(done_ids) > 0:
+                    reset_obs, _ = self.venv.reset(id=done_ids.tolist())
+                    reset_obs = self._to_obs(reset_obs)
+                    obs_next[done_ids.tolist() if isinstance(obs_next, Batch) else done_ids] = reset_obs
+                if n_episode is not None:
+                    remaining = n_episode - len(ep_returns)
+                    # deactivate surplus envs once enough episodes are running
+                    n_active = int(active.sum())
+                    for i in done_ids:
+                        if n_active > remaining:
+                            active[i] = False
+                            n_active -= 1
+            self._obs = obs_next if isinstance(obs_next, Batch) else np.asarray(obs_next)
+
+            if n_step is not None and step_count >= n_step:
+                break
+            if n_episode is not None and len(ep_returns) >= n_episode:
+                break
+
+        return CollectStats(
+            n_collected_steps=step_count,
+            n_collected_episodes=len(ep_returns),
+            returns=np.asarray(ep_returns),
+            lens=np.asarray(ep_lens),
+        )
