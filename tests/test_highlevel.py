@@ -1,0 +1,86 @@
+"""High-level Experiment/Builder smoke + convergence tests (reference
+test/highlevel/test_experiment_builder.py builds every builder and runs a
+couple of epochs)."""
+
+import os
+
+import pytest
+
+from tianshou_tpu.env.classic.cartpole import CartPole
+from tianshou_tpu.env.classic.pendulum import Pendulum
+from tianshou_tpu.highlevel.config import (
+    ExperimentConfig,
+    OffPolicyTrainingConfig,
+    OnPolicyTrainingConfig,
+)
+from tianshou_tpu.highlevel.experiment import (
+    A2CExperimentBuilder,
+    DDPGExperimentBuilder,
+    DQNExperimentBuilder,
+    PPOExperimentBuilder,
+    ReinforceExperimentBuilder,
+    SACExperimentBuilder,
+    TD3ExperimentBuilder,
+    Experiment,
+)
+
+
+def test_dqn_builder_trains_to_threshold(tmp_path):
+    result = (
+        DQNExperimentBuilder(
+            lambda: CartPole(),
+            ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path)),
+            OffPolicyTrainingConfig(
+                max_epochs=12, epoch_num_steps=5000, buffer_size=20000,
+                num_train_envs=10, num_test_envs=10, start_timesteps=1000,
+                stop_threshold=195,
+            ),
+        )
+        .with_dqn_params(gamma=0.97, n_step_return_horizon=3, target_update_freq=320, eps_training=0.3)
+        .build()
+        .run("dqn_cartpole")
+    )
+    assert result.best_reward >= 195
+    # persistence side effects
+    assert os.path.exists(tmp_path / "dqn_cartpole" / "experiment.pkl")
+    assert os.path.isdir(tmp_path / "dqn_cartpole" / "best")
+    meta = Experiment.from_directory(str(tmp_path / "dqn_cartpole"))
+    assert meta["run_name"] == "dqn_cartpole"
+
+
+def test_ppo_builder_trains(tmp_path):
+    result = (
+        PPOExperimentBuilder(
+            lambda: CartPole(),
+            ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False),
+            OnPolicyTrainingConfig(max_epochs=10, epoch_num_steps=10000, num_train_envs=16, stop_threshold=195),
+        )
+        .build()
+        .run("ppo_cartpole")
+    )
+    assert result.best_reward >= 195
+
+
+@pytest.mark.parametrize(
+    "builder_cls,training",
+    [
+        (A2CExperimentBuilder, OnPolicyTrainingConfig(max_epochs=1, epoch_num_steps=2048)),
+        (ReinforceExperimentBuilder, OnPolicyTrainingConfig(max_epochs=1, epoch_num_steps=2048)),
+    ],
+)
+def test_onpolicy_builders_smoke(builder_cls, training, tmp_path):
+    cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+    result = builder_cls(lambda: CartPole(), cfg, training).build().run("smoke")
+    assert result.env_step > 0
+
+
+@pytest.mark.parametrize("builder_cls", [SACExperimentBuilder, TD3ExperimentBuilder, DDPGExperimentBuilder])
+def test_continuous_builders_smoke(builder_cls, tmp_path):
+    cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+    training = OffPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=600, buffer_size=5000, num_train_envs=4,
+        num_test_envs=4, test_step_num_episodes=2, start_timesteps=200,
+        start_timesteps_random=False, collection_step_num_env_steps=25,
+    )
+    result = builder_cls(lambda: Pendulum(), cfg, training).build().run("smoke")
+    assert result.env_step > 0

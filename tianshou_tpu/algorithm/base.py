@@ -121,6 +121,11 @@ class Algorithm:
         """Train-time exploration (reference Policy.add_exploration_noise :354)."""
         return act
 
+    def init_policy_state(self, num_envs: int) -> Any:
+        """Initial recurrent state for the collector carry (None if
+        stateless); reset on episode end (reference collector.py:1103)."""
+        return None
+
     def map_action(self, act: jnp.ndarray) -> jnp.ndarray:
         """Map raw policy output into env action space
         (reference Policy.map_action algorithm_base.py:254)."""

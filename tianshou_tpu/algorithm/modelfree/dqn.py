@@ -112,6 +112,27 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         return ts.replace(target_params=new_target)
 
 
+class RecurrentDQN_Mixin:
+    """Adds LSTM-carry acting to a Q-learning algorithm whose model is a
+    RecurrentQNet (reference Recurrent net/common.py:372 + the collector's
+    hidden-state threading). Training consumes frame-stacked samples
+    (buffer ``stack_num``) through the model's sequence path."""
+
+    def init_policy_state(self, num_envs: int):
+        import flax.linen as nn
+
+        cell = nn.OptimizedLSTMCell(self.model.hidden_size)
+        return cell.initialize_carry(jax.random.key(0), (num_envs, self.model.hidden_size))
+
+    def forward(self, ts: TrainState, obs: jnp.ndarray, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
+        q, new_state = self.model.apply(ts.params["model"], obs, state, method="step")
+        mask = self._action_mask(obs)
+        if mask is not None:
+            q = jnp.where(mask, q, -jnp.inf)
+        act = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        return ActOut(act=act, state=new_state, info=Batch(q=q))
+
+
 class DQN(QLearningOffPolicyAlgorithm):
     def __init__(self, *args, is_double: bool = True, huber_loss_delta: float | None = None, **kwargs) -> None:
         super().__init__(*args, **kwargs)
@@ -161,3 +182,7 @@ class DQN(QLearningOffPolicyAlgorithm):
         if isinstance(buffer, PrioritizedReplayBuffer):
             return buffer.update_weight(buf_state, indices, stats.td_error)
         return buf_state
+
+
+class RecurrentDQN(RecurrentDQN_Mixin, DQN):
+    """DQN over a RecurrentQNet with collector-threaded LSTM state."""

@@ -39,6 +39,7 @@ __all__ = ["CollectState", "CollectStats", "DeviceCollector"]
 class CollectState(NamedTuple):
     env_state: Any
     obs: Any
+    policy_state: Any     # recurrent carry (None for stateless policies)
     ep_rew: jnp.ndarray   # [E] running episode return
     ep_len: jnp.ndarray   # [E] running episode length
 
@@ -81,13 +82,16 @@ class DeviceCollector:
     def reset(self, key: jax.Array) -> CollectState:
         env_state, obs = self.venv.reset(key)
         E = self.venv.num_envs
-        return CollectState(env_state, obs, jnp.zeros(E), jnp.zeros(E, jnp.int32))
+        ps = self.algo.init_policy_state(E)
+        return CollectState(env_state, obs, ps, jnp.zeros(E), jnp.zeros(E, jnp.int32))
 
     # ------------------------------------------------------------------
     def _step_fn(self, ts, carry, key, training: bool, store: bool, keep_rollout: bool):
         cstate, buf_state = carry
         k_act, k_noise, k_env, k_reset = jax.random.split(key, 4)
-        out = self.algo.forward(ts, cstate.obs, k_act, deterministic=not training)
+        out = self.algo.forward(
+            ts, cstate.obs, k_act, state=cstate.policy_state, deterministic=not training
+        )
         act = out.act
         if training:
             act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise)
@@ -117,9 +121,15 @@ class DeviceCollector:
             return jnp.where(d, new, old)
         env_state = jax.tree.map(sel, reset_state, step.state)
         obs = jax.tree.map(sel, reset_obs, step.obs)
+        # recurrent carry resets on episode end (reference collector.py:1103)
+        policy_state = out.state
+        if policy_state is not None:
+            zero_ps = self.algo.init_policy_state(self.venv.num_envs)
+            policy_state = jax.tree.map(sel, zero_ps, policy_state)
         new_cstate = CollectState(
             env_state=env_state,
             obs=obs,
+            policy_state=policy_state,
             ep_rew=jnp.where(done, 0.0, ep_rew),
             ep_len=jnp.where(done, 0, ep_len),
         )
