@@ -101,11 +101,26 @@ class SegmentTree:
         return tree[1]
 
     # ------------------------------------------------------------------
-    def get_prefix_sum_idx(self, tree: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+    def get_prefix_sum_idx(
+        self, tree: jnp.ndarray, value: jnp.ndarray, use_pallas: bool | None = None
+    ) -> jnp.ndarray:
         """Largest i with prefix_sum(i) <= value — vectorized binary descent.
 
         (reference ``_get_prefix_sum_idx`` segtree.py:119-134)
+
+        ``use_pallas=True`` runs the descent as a Pallas kernel with the
+        tree resident in VMEM (ops/pallas/sumtree.py). Measured on v5e
+        (8k leaves, 1024 queries, amortized in-jit): XLA gather descent
+        255us vs exact Pallas masked-reduction 414us — XLA's fused dynamic
+        gathers win at PER-relevant sizes, so the kernel is opt-in.
         """
+        if use_pallas is None:
+            use_pallas = False
+        if use_pallas:
+            from tianshou_tpu.ops.pallas.sumtree import pallas_prefix_sum_idx
+
+            idx = pallas_prefix_sum_idx(tree, jnp.asarray(value, jnp.float32), self.bound, self.depth)
+            return jnp.minimum(idx, self.size - 1)
         value = jnp.asarray(value, jnp.float32)
         index = jnp.ones_like(value, dtype=jnp.int32)
 
