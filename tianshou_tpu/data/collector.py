@@ -70,12 +70,21 @@ class DeviceCollector:
     Parameters mirror the reference Collector (policy, env, buffer); the
     buffer may be ``None`` for pure on-policy collection where the rollout
     batch is consumed directly.
+
+    Hooks (reference StepHook collector.py:1412 / EpisodeRolloutHook :1468):
+    ``on_step_hook(transition Batch) -> Batch`` transforms every stored
+    transition INSIDE the jitted scan (e.g. add an action distribution,
+    reward shaping); ``on_episode_done_hook(stats)`` runs on host after each
+    collect with the finished-episode returns/lengths.
     """
 
-    def __init__(self, venv: VectorDeviceEnv, algo, buffer=None) -> None:
+    def __init__(self, venv: VectorDeviceEnv, algo, buffer=None,
+                 on_step_hook=None, on_episode_done_hook=None) -> None:
         self.venv = venv
         self.algo = algo
         self.buffer = buffer
+        self.on_step_hook = on_step_hook
+        self.on_episode_done_hook = on_episode_done_hook
         self._collect_jit: dict = {}
 
     # ------------------------------------------------------------------
@@ -106,6 +115,8 @@ class DeviceCollector:
             truncated=step.truncated,
             obs_next=step.obs,
         )
+        if self.on_step_hook is not None:
+            transition = self.on_step_hook(transition)
         if store and self.buffer is not None:
             buf_state, _ = self.buffer.add(buf_state, transition)
         ep_rew = cstate.ep_rew + step.reward
@@ -170,7 +181,10 @@ class DeviceCollector:
         sig = (n_steps, training, keep_rollout)
         if sig not in self._collect_jit:
             self._collect_jit[sig] = self._build_collect(*sig)
-        return self._collect_jit[sig](ts, cstate, buf_state, key)
+        cstate, buf_state, out = self._collect_jit[sig](ts, cstate, buf_state, key)
+        if self.on_episode_done_hook is not None:
+            self.on_episode_done_hook(self.stats_from(out))
+        return cstate, buf_state, out
 
     # ------------------------------------------------------------------
     def stats_from(self, out: Batch, max_episodes: int | None = None) -> CollectStats:

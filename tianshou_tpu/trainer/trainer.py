@@ -53,6 +53,7 @@ class TrainerParams:
     verbose: bool = True
     show_progress: bool = False
     test_in_train: bool = False
+    resume_from_log: bool = False   # restore epoch/step counters (trainer.py:448)
     seed: int = 0
 
 
@@ -104,8 +105,15 @@ class _TrainerBase:
         self.params = params
         self.env_step = 0
         self.gradient_step = 0
+        self.start_epoch = 0
         self.best_reward = -np.inf
         self.best_score = -np.inf
+        if params.resume_from_log and params.logger is not None:
+            self.start_epoch, self.env_step, self.gradient_step = params.logger.restore_data()
+
+    def _save_counters(self, epoch: int) -> None:
+        if self.params.logger is not None:
+            self.params.logger.save_data(epoch, self.env_step, self.gradient_step)
 
     # ------------------------------------------------------------------
     def _test(self, ts, test_collector: DeviceCollector, key) -> CollectStats:
@@ -202,7 +210,7 @@ class OffPolicyTrainer(_TrainerBase):
         update_fn = self._build_update_many(n_updates, p.batch_size)
 
         stop = False
-        for epoch in range(1, p.max_epochs + 1):
+        for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             steps_this_epoch = 0
             while steps_this_epoch < p.epoch_num_steps:
@@ -234,6 +242,7 @@ class OffPolicyTrainer(_TrainerBase):
             test_stats = self._test(ts, self.test_collector, k)
             test_time += time.time() - tt
             stop = self._log_test(test_stats, epoch)
+            self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
             if stop:
@@ -284,7 +293,7 @@ class OnPolicyTrainer(_TrainerBase):
             )
 
         stop = False
-        for epoch in range(1, p.max_epochs + 1):
+        for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             steps_this_epoch = 0
             while steps_this_epoch < p.epoch_num_steps:
@@ -310,6 +319,7 @@ class OnPolicyTrainer(_TrainerBase):
             key, k = _split_host(key)
             test_stats = self._test(ts, self.test_collector, k)
             stop = self._log_test(test_stats, epoch)
+            self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
             if stop:
@@ -354,7 +364,7 @@ class OfflineTrainer(_TrainerBase):
         update_fn = jax.jit(update_many, donate_argnums=(0,))
 
         stop = False
-        for epoch in range(1, p.max_epochs + 1):
+        for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             key, k = _split_host(key)
             ts, buf_state, _ = update_fn(ts, buf_state, k)
@@ -364,6 +374,7 @@ class OfflineTrainer(_TrainerBase):
                 key, k = _split_host(key)
                 test_stats = self._test(ts, self.test_collector, k)
                 stop = self._log_test(test_stats, epoch)
+            self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
             if stop:
