@@ -1,7 +1,7 @@
 """Flagship benchmark: PPO collect+update throughput on vectorized device envs.
 
 Measures steady-state env-steps/sec for the fused collect->update megastep
-(1024 CartPole envs x 128 steps, then 4 PPO epochs over the rollout) on the
+(4096 CartPole envs x 128 steps, then 4 PPO epochs over the rollout) on the
 available accelerator. Baseline: the reference's published collection
 throughput of ~3,000 env-step/s (CNN policy + collector + buffer,
 examples/atari/README.md:22-23; see BASELINE.md) — its Python collector +
@@ -27,7 +27,7 @@ def main() -> None:
     from tianshou_tpu.env.core import VectorDeviceEnv
     from tianshou_tpu.models.discrete import DiscreteActor, DiscreteCritic
 
-    E, T, REPEAT, BATCH = 1024, 128, 4, 16384
+    E, T, REPEAT, BATCH = 4096, 128, 4, 16384
 
     env = CartPole()
     algo = PPO(
@@ -63,7 +63,7 @@ def main() -> None:
         ts, cstate, _ = megastep(ts, cstate, k)
     jax.block_until_ready(ts.step)
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         key, k = jax.random.split(key)

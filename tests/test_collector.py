@@ -1,0 +1,107 @@
+"""Device collector exactness tests with the deterministic MoveToRightEnv
+(mirroring reference test/base/test_collector.py:314-390 — obs/obs_next
+index correctness, episode accounting, auto-reset) plus env dynamics
+sanity and classic-env coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import transition_example
+from tianshou_tpu.algorithm.random_policy import RandomActionPolicy
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+from tianshou_tpu.data.collector import DeviceCollector
+from tianshou_tpu.env.classic.acrobot import Acrobot
+from tianshou_tpu.env.classic.mountain_car import MountainCar, MountainCarContinuous
+from tianshou_tpu.env.core import VectorDeviceEnv
+from tianshou_tpu.env.testing import MoveToRightEnv
+from tianshou_tpu.env.wrappers import NormObs
+from tianshou_tpu.algorithm.base import ActOut, Algorithm, TrainState
+
+
+class AlwaysRight(Algorithm):
+    """Deterministic policy: always action 1 (move right)."""
+
+    def init(self, key, obs_example):
+        return TrainState(params={}, target_params={}, opt_state={}, hparams=Batch(), extra=Batch(), step=jnp.int32(0))
+
+    def forward(self, ts, obs, key, state=None, deterministic=False):
+        return ActOut(act=jnp.ones(obs.shape[0], jnp.int32), state=state, info=Batch())
+
+    def update_step(self, ts, batch, key):
+        return ts, Batch()
+
+
+def test_collector_exact_transitions():
+    """With obs == position and always-right actions, every stored field is
+    exactly predictable (reference test_collector.py:314)."""
+    env = MoveToRightEnv(size=5)
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    buffer = VectorReplayBuffer(total_size=40, buffer_num=2)
+    bs = buffer.init(transition_example(env))
+    coll = DeviceCollector(VectorDeviceEnv(env, 2), algo, buffer)
+    cstate = coll.reset(jax.random.key(1))
+    cstate, bs, out = coll.collect(ts, cstate, bs, jax.random.key(2), 12)
+
+    # episode = 5 steps (0->1->..->5); episodes of len 5 back to back
+    obs = np.asarray(bs.data.obs[0, :12, 0])
+    np.testing.assert_array_equal(obs, [0, 1, 2, 3, 4] * 2 + [0, 1])
+    obs_next = np.asarray(bs.data.obs_next[0, :12, 0])
+    np.testing.assert_array_equal(obs_next, [1, 2, 3, 4, 5] * 2 + [1, 2])
+    done = np.asarray(bs.data.done[0, :12])
+    np.testing.assert_array_equal(np.where(done)[0], [4, 9])
+    rew = np.asarray(bs.data.rew[0, :12])
+    np.testing.assert_array_equal(rew, [0, 0, 0, 0, 1] * 2 + [0, 0])
+    # episode stats: returns 1.0, length 5
+    stats = coll.stats_from(out)
+    assert stats.n_collected_episodes == 4  # 2 envs x 2 episodes
+    np.testing.assert_allclose(stats.returns, 1.0)
+    np.testing.assert_array_equal(stats.lens, 5)
+
+
+def test_collect_episodes_counts_exactly():
+    env = MoveToRightEnv(size=5)
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    coll = DeviceCollector(VectorDeviceEnv(env, 3), algo, None)
+    stats = coll.collect_episodes(ts, jax.random.key(1), n_episodes=7, chunk_steps=6)
+    assert stats.n_collected_episodes == 7
+    np.testing.assert_allclose(stats.returns, 1.0)
+
+
+def test_norm_obs_statistics_survive_reset():
+    env = NormObs(MoveToRightEnv(size=3))
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    coll = DeviceCollector(VectorDeviceEnv(env, 2), algo, None)
+    cstate = coll.reset(jax.random.key(1))
+    cstate, _, _ = coll.collect(ts, cstate, None, jax.random.key(2), 20)
+    # after 20 steps (several episodes), the rms count must exceed one episode
+    assert float(cstate.env_state.rms.count[0]) > 4.0
+
+
+def test_classic_envs_step():
+    for env in (MountainCar(), MountainCarContinuous(), Acrobot()):
+        venv = VectorDeviceEnv(env, 4)
+        state, obs = venv.reset(jax.random.key(0))
+        if hasattr(env.action_space, "n"):
+            act = jnp.zeros(4, jnp.int32)
+        else:
+            act = jnp.zeros((4,) + env.action_space.shape)
+        for _ in range(3):
+            step = venv.step(state, act, jax.random.key(1))
+            state = step.state
+        assert step.obs.shape == (4,) + env.observation_space.shape
+        assert bool(jnp.isfinite(step.obs).all())
+        assert bool(jnp.isfinite(step.reward).all())
+
+
+def test_acrobot_solvable_reward_structure():
+    # swing via alternating torque reaches termination eventually under
+    # random policy occasionally; here just verify reward semantics
+    env = Acrobot()
+    s, obs = env.reset(jax.random.key(0))
+    step = env.step(s, jnp.int32(2), jax.random.key(1))
+    assert float(step.reward) in (-1.0, 0.0)

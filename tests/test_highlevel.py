@@ -15,12 +15,18 @@ from tianshou_tpu.highlevel.config import (
 )
 from tianshou_tpu.highlevel.experiment import (
     A2CExperimentBuilder,
+    C51ExperimentBuilder,
     DDPGExperimentBuilder,
+    DiscreteSACExperimentBuilder,
     DQNExperimentBuilder,
+    IQNExperimentBuilder,
+    NPGExperimentBuilder,
     PPOExperimentBuilder,
+    REDQExperimentBuilder,
     ReinforceExperimentBuilder,
     SACExperimentBuilder,
     TD3ExperimentBuilder,
+    TRPOExperimentBuilder,
     Experiment,
 )
 
@@ -74,7 +80,7 @@ def test_onpolicy_builders_smoke(builder_cls, training, tmp_path):
     assert result.env_step > 0
 
 
-@pytest.mark.parametrize("builder_cls", [SACExperimentBuilder, TD3ExperimentBuilder, DDPGExperimentBuilder])
+@pytest.mark.parametrize("builder_cls", [SACExperimentBuilder, TD3ExperimentBuilder, DDPGExperimentBuilder, REDQExperimentBuilder])
 def test_continuous_builders_smoke(builder_cls, tmp_path):
     cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
     training = OffPolicyTrainingConfig(
@@ -83,4 +89,30 @@ def test_continuous_builders_smoke(builder_cls, tmp_path):
         start_timesteps_random=False, collection_step_num_env_steps=25,
     )
     result = builder_cls(lambda: Pendulum(), cfg, training).build().run("smoke")
+    assert result.env_step > 0
+
+
+@pytest.mark.parametrize(
+    "builder_cls",
+    [C51ExperimentBuilder, IQNExperimentBuilder, DiscreteSACExperimentBuilder],
+)
+def test_discrete_builders_smoke(builder_cls, tmp_path):
+    cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+    training = OffPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=600, buffer_size=5000, num_train_envs=4,
+        num_test_envs=4, test_step_num_episodes=2, start_timesteps=200,
+        collection_step_num_env_steps=25,
+    )
+    result = builder_cls(lambda: CartPole(), cfg, training).build().run("smoke")
+    assert result.env_step > 0
+
+
+@pytest.mark.parametrize("builder_cls", [NPGExperimentBuilder, TRPOExperimentBuilder])
+def test_trust_region_builders_smoke(builder_cls, tmp_path):
+    cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+    training = OnPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=2048, num_train_envs=8, num_test_envs=4,
+        test_step_num_episodes=2, batch_size=1024, update_step_num_repetitions=1,
+    )
+    result = builder_cls(lambda: CartPole(), cfg, training).build().run("smoke")
     assert result.env_step > 0

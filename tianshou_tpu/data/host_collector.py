@@ -29,13 +29,18 @@ __all__ = ["HostCollector"]
 
 
 class HostCollector:
-    def __init__(self, venv: BaseVectorEnv, algo, buffer=None) -> None:
+    def __init__(self, venv: BaseVectorEnv, algo, buffer=None, return_reduction=None) -> None:
         self.venv = venv
         self.algo = algo
         self.buffer = buffer
         self.buf_state = None
         self._obs: np.ndarray | None = None
         self._forward_jit: dict = {}
+        # vector (multi-agent) episode returns -> scalar for stats
+        # (reference multi_agent_return_reduction, trainer.py:81)
+        self.return_reduction = return_reduction if return_reduction is not None else (
+            lambda r: r if np.ndim(r) == 0 else r[0]
+        )
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -137,9 +142,7 @@ class HostCollector:
             if done.any():
                 done_ids = np.where(done & active)[0]
                 for i in done_ids:
-                    # vector rewards (MARL): report agent-0 perspective
-                    r = self._ep_rew[i]
-                    ep_returns.append(float(r if np.ndim(r) == 0 else r[0]))
+                    ep_returns.append(float(self.return_reduction(self._ep_rew[i])))
                     ep_lens.append(int(self._ep_len[i]))
                     self._ep_rew[i] = 0.0
                     self._ep_len[i] = 0

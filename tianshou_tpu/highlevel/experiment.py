@@ -62,6 +62,12 @@ __all__ = [
     "SACExperimentBuilder",
     "TD3ExperimentBuilder",
     "DDPGExperimentBuilder",
+    "REDQExperimentBuilder",
+    "NPGExperimentBuilder",
+    "TRPOExperimentBuilder",
+    "C51ExperimentBuilder",
+    "IQNExperimentBuilder",
+    "DiscreteSACExperimentBuilder",
 ]
 
 
@@ -349,5 +355,111 @@ class DDPGExperimentBuilder(_ContinuousOffPolicyBuilder):
             action_space=env.action_space,
             policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 1e-3)),
             critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 1e-3)),
+            **self._params,
+        )
+
+
+class REDQExperimentBuilder(_ContinuousOffPolicyBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.redq import REDQ
+        from tianshou_tpu.models.continuous import EnsembleCritic
+
+        self._actor_factory.conditioned_sigma = True
+        ensemble = self._params.pop("ensemble_size", 10)
+        return REDQ(
+            actor=self._actor_factory.create(env.observation_space, env.action_space),
+            critic=EnsembleCritic(ensemble_size=ensemble, hidden_sizes=tuple(self._critic_factory.hidden_sizes)),
+            action_space=env.action_space,
+            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
+            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
+            ensemble_size=ensemble,
+            **self._params,
+        )
+
+
+class NPGExperimentBuilder(_ActorCriticBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.npg import NPG
+
+        return NPG(
+            actor=self._actor_factory.create(env.observation_space, env.action_space),
+            critic=self._critic_factory.create(env.observation_space, env.action_space),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
+            deterministic_eval=True,
+            **self._params,
+        )
+
+
+class TRPOExperimentBuilder(_ActorCriticBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.trpo import TRPO
+
+        return TRPO(
+            actor=self._actor_factory.create(env.observation_space, env.action_space),
+            critic=self._critic_factory.create(env.observation_space, env.action_space),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
+            deterministic_eval=True,
+            **self._params,
+        )
+
+
+class C51ExperimentBuilder(DQNExperimentBuilder):
+    def __init__(self, env_factory, config=None, training=None) -> None:
+        super().__init__(env_factory, config, training)
+        self._model_factory = QNetFactoryDefault(num_atoms=51, softmax=True)
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.c51 import C51
+
+        num_atoms = self._params.pop("num_atoms", self._model_factory.num_atoms)
+        self._model_factory.num_atoms = num_atoms
+        self._model_factory.softmax = True
+        return C51(
+            model=self._model_factory.create(env.observation_space, env.action_space),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
+            num_atoms=num_atoms,
+            **self._params,
+        )
+
+
+class IQNExperimentBuilder(DQNExperimentBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.iqn import IQN
+        from tianshou_tpu.models.discrete import ImplicitQuantileNetwork
+
+        return IQN(
+            model=ImplicitQuantileNetwork(
+                hidden_sizes=tuple(self._model_factory.hidden_sizes),
+                action_dim=env.action_space.n,
+            ),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
+            **self._params,
+        )
+
+
+class DiscreteSACExperimentBuilder(ExperimentBuilder):
+    def __init__(self, env_factory, config=None, training=None) -> None:
+        super().__init__(env_factory, config, training or OffPolicyTrainingConfig())
+        self._hidden = (64, 64)
+
+    def with_params(self, **kwargs):
+        self._params.update(kwargs)
+        return self
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.discrete_sac import DiscreteSAC
+        from tianshou_tpu.models.discrete import DiscreteActor, DiscreteCritic
+
+        n = env.action_space.n
+        return DiscreteSAC(
+            actor=DiscreteActor(hidden_sizes=self._hidden, action_dim=n),
+            critic=DiscreteCritic(hidden_sizes=self._hidden, last_size=n),
+            action_space=env.action_space,
+            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 5e-4)),
+            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 5e-4)),
             **self._params,
         )

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate", "shard_leading", "make_dp_train_step"]
+__all__ = ["make_mesh", "make_mesh_2d", "replicate", "shard_leading", "shard_params_tp", "make_dp_train_step"]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
@@ -29,6 +29,30 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def make_mesh_2d(n_devices: int, mp: int = 2, axis_names: tuple[str, str] = ("dp", "mp")) -> Mesh:
+    """2-D mesh for data x model (tensor) parallelism."""
+    assert n_devices % mp == 0
+    devs = np.array(jax.devices()[:n_devices]).reshape(n_devices // mp, mp)
+    return Mesh(devs, axis_names)
+
+
+def shard_params_tp(params: Any, mesh: Mesh, axis_name: str = "mp") -> Any:
+    """Megatron-style tensor-parallel placement for dense params: 2-D
+    kernels shard their output dim over the model axis, biases/1-D params
+    replicate. XLA inserts the activation all-reduces during partitioning —
+    the sharding-annotation recipe of the scaling playbook, no hand-written
+    collectives."""
+
+    mp = mesh.shape[axis_name]
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[1] % mp == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, params)
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
@@ -50,13 +74,19 @@ def _constrain_leading(tree: Any, mesh: Mesh, axis_name: str) -> Any:
     return jax.tree.map(c, tree)
 
 
-def make_dp_train_step(algo, collector, mesh: Mesh, n_steps: int, repeat: int, batch_size: int, axis_name: str = "dp"):
+def make_dp_train_step(
+    algo, collector, mesh: Mesh, n_steps: int, repeat: int, batch_size: int,
+    axis_name: str = "dp", tp_axis: str | None = None,
+):
     """One data-parallel on-policy megastep: collect -> update_rollout.
 
     Env-state/obs leaves are sharded on their leading (env) axis; the train
-    state is replicated. XLA partitions the whole program over the mesh and
-    emits psum for the gradient reduction — the analogue of the reference's
-    DataParallelNet (utils/net/common.py:473) without a replication wrapper.
+    state is replicated (pure DP) or, when ``tp_axis`` names a second mesh
+    axis, dense kernels stay sharded over it (tensor parallelism via
+    :func:`shard_params_tp` — apply it to ``ts.params`` before calling). XLA
+    partitions the whole program and emits the psum/all-gather collectives —
+    the analogue of the reference's DataParallelNet (net/common.py:473)
+    without a replication wrapper.
     """
 
     def step(ts, cstate, key):
@@ -66,6 +96,15 @@ def make_dp_train_step(algo, collector, mesh: Mesh, n_steps: int, repeat: int, b
             else x,
             cstate,
         )
+        if tp_axis is not None:
+            mp = mesh.shape[tp_axis]
+
+            def keep_tp(x):
+                if hasattr(x, "ndim") and x.ndim == 2 and x.shape[1] % mp == 0:
+                    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, tp_axis)))
+                return x
+
+            ts = ts.replace(params=jax.tree.map(keep_tp, ts.params))
         k1, k2 = jax.random.split(key)
         (cstate, _), out = _collect_scan(ts, cstate, k1)
         ts, stats = algo.update_rollout(ts, out.rollout, k2, repeat=repeat, batch_size=batch_size)
@@ -79,9 +118,4 @@ def make_dp_train_step(algo, collector, mesh: Mesh, n_steps: int, repeat: int, b
 
         return jax.lax.scan(body, (cstate, None), keys)
 
-    rep = replicate(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(rep, None, rep),
-        out_shardings=(rep, None, None),
-    )
+    return jax.jit(step)

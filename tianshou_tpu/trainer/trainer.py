@@ -223,13 +223,30 @@ class OffPolicyTrainer(_TrainerBase):
                 collect_time += time.time() - tc
                 self.env_step += T * E
                 steps_this_epoch += T * E
-                if self.params.logger is not None:
+                stats = None
+                if self.params.logger is not None or p.test_in_train:
                     stats = self.train_collector.stats_from(out)
-                    if stats.n_collected_episodes:
-                        self.params.logger.log_train_data(
-                            {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
-                            self.env_step,
-                        )
+                if self.params.logger is not None and stats.n_collected_episodes:
+                    self.params.logger.log_train_data(
+                        {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
+                        self.env_step,
+                    )
+                # test_in_train: if training episodes already hit the stop
+                # threshold, confirm with a test run and stop early
+                # (reference trainer.py:978)
+                if (
+                    p.test_in_train
+                    and p.stop_fn is not None
+                    and stats is not None
+                    and stats.n_collected_episodes > 0
+                    and p.stop_fn(float(stats.returns.mean()))
+                ):
+                    key, k = _split_host(key)
+                    self._ts = ts
+                    test_stats = self._test(ts, self.test_collector, k)
+                    self._epoch = epoch
+                    if self._log_test(test_stats, epoch):
+                        return self._result(epoch, t0, collect_time, update_time, test_time, ts, buf_state)
                 tu = time.time()
                 key, k = _split_host(key)
                 ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
@@ -247,6 +264,9 @@ class OffPolicyTrainer(_TrainerBase):
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
             if stop:
                 break
+        return self._result(epoch, t0, collect_time, update_time, test_time, ts, buf_state)
+
+    def _result(self, epoch, t0, collect_time, update_time, test_time, ts, buf_state) -> TrainResult:
         return TrainResult(
             best_score=self.best_score,
             best_reward=self.best_reward,
