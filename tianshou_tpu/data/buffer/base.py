@@ -58,6 +58,7 @@ class ReplayBuffer:
         num_envs: int = 1,
         stack_num: int = 1,
         ignore_obs_next: bool = False,
+        save_only_last_obs: bool = False,
         sample_avail: bool = False,
     ) -> None:
         assert size > 0 and num_envs > 0
@@ -66,6 +67,9 @@ class ReplayBuffer:
         self.total_size = self.capacity * num_envs
         self.stack_num = stack_num
         self.ignore_obs_next = ignore_obs_next
+        # frame-stacked envs: store only the newest frame, re-stack at sample
+        # time via stack_num (reference buffer_base.py save_only_last_obs)
+        self.save_only_last_obs = save_only_last_obs
         self.sample_avail = sample_avail
 
     # ------------------------------------------------------------------
@@ -111,6 +115,11 @@ class ReplayBuffer:
         done = term | trunc
         transitions = transitions.copy()
         transitions.done = done
+        if self.save_only_last_obs:
+            # obs arrives frame-stacked [E, L, ...]; keep the newest frame
+            transitions.obs = jax.tree.map(lambda a: a[:, -1], transitions.obs)
+            if "obs_next" in transitions:
+                transitions.obs_next = jax.tree.map(lambda a: a[:, -1], transitions.obs_next)
         if self.ignore_obs_next and "obs_next" in transitions:
             transitions = transitions.copy()
             del transitions["obs_next"]

@@ -82,6 +82,38 @@ class TruncatedAsTerminated(Env):
         return s._replace(terminated=s.terminated | s.truncated, truncated=jnp.bool_(False))
 
 
+class FrameStackState(NamedTuple):
+    inner: Any
+    frames: jnp.ndarray  # [n_frames, ...obs]
+
+
+class FrameStack(Env):
+    """Stack the last ``n_frames`` observations along a new leading axis
+    (device analogue of the Atari FrameStack wrapper, atari_wrapper.py:278).
+    Pair with a buffer using ``save_only_last_obs=True`` + ``stack_num`` so
+    frames are stored once and re-stacked at sample time."""
+
+    def __init__(self, env: Env, n_frames: int = 4) -> None:
+        self.env = env
+        self.n_frames = n_frames
+        self.action_space = env.action_space
+        self.max_episode_steps = env.max_episode_steps
+        inner = env.observation_space
+        self.observation_space = Box(
+            low=0.0, high=1.0, shape=(n_frames,) + tuple(inner.shape)
+        )
+
+    def reset(self, key):
+        s, obs = self.env.reset(key)
+        frames = jnp.repeat(obs[None], self.n_frames, axis=0)
+        return FrameStackState(s, frames), frames
+
+    def step(self, state: FrameStackState, action, key):
+        s = self.env.step(state.inner, action, key)
+        frames = jnp.concatenate([state.frames[1:], s.obs[None]], axis=0)
+        return s._replace(state=FrameStackState(s.state, frames), obs=frames)
+
+
 class RMSState(NamedTuple):
     mean: jnp.ndarray
     var: jnp.ndarray

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tianshou_tpu.algorithm.base import batch_obs_example
 from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.buffer.base import VectorReplayBuffer

@@ -6,7 +6,7 @@ from __future__ import annotations
 import dataclasses
 from collections.abc import Sequence
 
-from tianshou_tpu.env.core import Box, Discrete, Space
+from tianshou_tpu.env.core import Discrete, Space
 from tianshou_tpu.models.continuous import (
     ContinuousActorDeterministic,
     ContinuousActorProbabilistic,

@@ -10,7 +10,6 @@ Two call paths, matching the reference's dual use:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 from typing import Any
 
 import flax.linen as nn

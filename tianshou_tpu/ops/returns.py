@@ -15,7 +15,6 @@ to a single fused XLA while-loop.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

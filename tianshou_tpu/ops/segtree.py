@@ -17,7 +17,6 @@ stable sort before the scatter, because XLA scatter-set order is undefined.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
