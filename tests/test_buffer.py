@@ -211,3 +211,53 @@ def test_buffer_in_jit_loop():
 
     state = add_n(state)
     assert int(state.size[0]) == 10
+
+
+def test_sample_avail_frame_history():
+    buf = ReplayBuffer(size=16, stack_num=3, sample_avail=True)
+    state = buf.init(example())
+    # episode 1: steps 0,1,2(done); episode 2: steps 3,4
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, True), (3, False), (4, False)])
+    idx = np.asarray(buf.sample_indices(state, jax.random.key(0), 256))
+    # valid: index 2 (history 0,1,2) only, since episode 2 has just 2 steps
+    # and indices 0/1 lack full 3-frame history within their episode
+    assert set(np.unique(idx)) == {2}, np.unique(idx)
+    # add one more step to episode 2 -> index 5 becomes valid
+    state, _ = fill(buf, state, [(5, False)])
+    idx = np.asarray(buf.sample_indices(state, jax.random.key(1), 256))
+    assert set(np.unique(idx)) == {2, 5}, np.unique(idx)
+
+
+def test_host_offpolicy_trainer():
+    import gymnasium as gym
+
+    from tianshou_tpu.data.host_collector import HostCollector
+    from tianshou_tpu.env.venvs import DummyVectorEnv
+    from tianshou_tpu.models.mlp import Net
+    from tianshou_tpu.algorithm.modelfree.dqn import DQN
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.env.core import Discrete
+    from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer, OffPolicyTrainerParams
+
+    algo = DQN(model=Net(hidden_sizes=(64, 64), output_dim=2), action_space=Discrete(2),
+               optim=AdamOptimizerFactory(lr=1e-3), gamma=0.97,
+               n_step_return_horizon=3, target_update_freq=320, eps_training=0.3)
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(4))
+    buffer = VectorReplayBuffer(total_size=20000, buffer_num=10)
+    bs = buffer.init(Batch(obs=jnp.zeros(4), act=jnp.int32(0), rew=jnp.float32(0),
+                           terminated=jnp.bool_(False), truncated=jnp.bool_(False), obs_next=jnp.zeros(4)))
+    make_cp = lambda: gym.make("CartPole-v1")
+    tc = HostCollector(DummyVectorEnv([make_cp for _ in range(10)]), algo, buffer)
+    ec = HostCollector(DummyVectorEnv([make_cp for _ in range(10)]), algo, None)
+    params = OffPolicyTrainerParams(
+        max_epochs=12, epoch_num_steps=5000, test_step_num_episodes=10,
+        batch_size=64, collection_step_num_env_steps=10, update_per_step=0.1,
+        start_steps=1000,
+        stop_fn=lambda r: r >= 195,
+        train_fn=lambda ep, step: {"eps_training": max(0.1, 0.3 * (1 - step / 30000))},
+        verbose=False,
+    )
+    res = HostOffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, bs, key)
+    assert res.best_reward >= 195, f"best_reward {res.best_reward}"

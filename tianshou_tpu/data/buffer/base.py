@@ -190,11 +190,34 @@ class ReplayBuffer:
         return env * C + nxt
 
     # ------------------------------------------------------------------
+    def _avail_mask(self, state: BufferState) -> jnp.ndarray:
+        """[E*C] mask of indices whose full ``stack_num`` history exists
+        (reference sample_avail, buffer_base.py:515-545): walking prev must
+        not clamp (episode start / buffer edge) before the stack completes."""
+        E, C = self.num_envs, self.capacity
+        idx = jnp.arange(E * C)
+        slot = idx % C
+        stored = slot[None, :].reshape(E, C) < jnp.maximum(state.size[:, None], 0)
+        full = state.size[:, None] >= C
+        ok = jnp.where(full, True, stored).reshape(E * C)
+        cur = idx
+        for _ in range(self.stack_num - 1):
+            prv = self.prev(state, cur)
+            ok = ok & (prv != cur)
+            cur = prv
+        return ok
+
     def sample_indices(self, state: BufferState, key: jax.Array, batch_size: int) -> jnp.ndarray:
         """Uniform flat indices over all valid entries (ragged per-env sizes).
 
-        Mirrors weighted cross-sub-buffer sampling (manager.py:200).
+        Mirrors weighted cross-sub-buffer sampling (manager.py:200). With
+        ``sample_avail`` and ``stack_num>1``, only indices with a complete
+        frame-stack history are drawn.
         """
+        if self.sample_avail and self.stack_num > 1:
+            ok = self._avail_mask(state)
+            logits = jnp.where(ok, 0.0, -jnp.inf)
+            return jax.random.categorical(key, logits, shape=(batch_size,))
         sizes = state.size
         cum = jnp.cumsum(sizes)
         total = cum[-1]

@@ -32,6 +32,7 @@ __all__ = [
     "OffPolicyTrainer",
     "OnPolicyTrainer",
     "OfflineTrainer",
+    "HostOffPolicyTrainer",
     "TrainResult",
 ]
 
@@ -409,4 +410,94 @@ class OfflineTrainer(_TrainerBase):
             timing={},
             train_state=ts,
             buf_state=buf_state,
+        )
+
+
+class HostOffPolicyTrainer(_TrainerBase):
+    """Off-policy trainer over the HOST collector (Gymnasium envs): same
+    epoch/test/stop semantics as :class:`OffPolicyTrainer`, with collection
+    through :class:`tianshou_tpu.data.host_collector.HostCollector` (or its
+    async variant) while updates stay jitted on the accelerator."""
+
+    def __init__(self, algo, train_collector, test_collector, buffer,
+                 params: OffPolicyTrainerParams) -> None:
+        super().__init__(algo, params)
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self.buffer = buffer
+
+    def run(self, ts, buf_state, key) -> TrainResult:
+        p: OffPolicyTrainerParams = self.params
+        t0 = time.time()
+        algo, buffer = self.algo, self.buffer
+        tc = self.train_collector
+        tc.buf_state = buf_state
+        if tc._obs is None:
+            tc.reset(seed=p.seed)
+        self._ts = ts
+        T = p.collection_step_num_env_steps * len(tc.venv)
+
+        if p.start_steps > 0:
+            key, k = _split_host(key)
+            tc.collect(ts, k, n_step=p.start_steps, random=p.start_random)
+            self.env_step += p.start_steps
+
+        n_updates = max(1, round(p.update_per_step * T))
+
+        def update_many(ts, buf_state, key):
+            def body(carry, k):
+                ts, buf_state = carry
+                ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, p.batch_size)
+                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+
+            (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n_updates))
+            return ts, buf_state, stats
+
+        update_fn = jax.jit(update_many)
+
+        stop = False
+        epoch = self.start_epoch
+        for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
+            self._epoch = epoch
+            steps_this_epoch = 0
+            while steps_this_epoch < p.epoch_num_steps:
+                if p.train_fn is not None:
+                    ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
+                key, k = _split_host(key)
+                stats = tc.collect(ts, k, n_step=T)
+                self.env_step += stats.n_collected_steps
+                steps_this_epoch += stats.n_collected_steps
+                if p.logger is not None and stats.n_collected_episodes:
+                    p.logger.log_train_data(
+                        {"train/reward": float(stats.returns.mean())}, self.env_step
+                    )
+                key, k = _split_host(key)
+                ts, tc.buf_state, _ = update_fn(ts, tc.buf_state, k)
+                self.gradient_step += n_updates
+                self._ts = ts
+            key, k = _split_host(key)
+            if p.test_fn is not None:
+                ts_test = self._apply_hparams(ts, p.test_fn(epoch, self.env_step))
+            else:
+                ts_test = ts
+            test_stats = self.test_collector.collect(
+                ts_test, k, n_episode=p.test_step_num_episodes, training=False,
+                reset_before_collect=True,
+            )
+            stop = self._log_test(test_stats, epoch)
+            self._save_counters(epoch)
+            if p.save_checkpoint_fn is not None:
+                p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
+            if stop:
+                break
+        return TrainResult(
+            best_score=self.best_score,
+            best_reward=self.best_reward,
+            env_step=self.env_step,
+            gradient_step=self.gradient_step,
+            epochs=epoch,
+            train_time=time.time() - t0,
+            timing={},
+            train_state=ts,
+            buf_state=tc.buf_state,
         )
