@@ -65,6 +65,10 @@ class OffPolicyTrainerParams(TrainerParams):
     update_per_step: float = 1.0              # grad steps per collected env step
     start_steps: int = 0                      # prefill before learning
     start_random: bool = True
+    # fuse collect + update burst into ONE jitted program per chunk: fewer
+    # dispatches and XLA can overlap rollout and gradient work. Episode
+    # stats still come back per chunk for logging.
+    fused_megastep: bool = False
 
 
 @dataclasses.dataclass
@@ -183,6 +187,30 @@ class OffPolicyTrainer(_TrainerBase):
 
         return jax.jit(update_many, donate_argnums=(0, 1))
 
+    def _build_megastep(self, T: int, n_updates: int, batch_size: int):
+        """collect T steps + n_updates gradient steps as ONE jitted program."""
+        algo, buffer = self.algo, self.buffer
+        coll = self.train_collector
+
+        def megastep(ts, cstate, buf_state, key):
+            k_c, k_u = jax.random.split(key)
+            keys = jax.random.split(k_c, T)
+
+            def c_body(carry, k):
+                return coll._step_fn(ts, carry, k, training=True, store=True, keep_rollout=False)
+
+            (cstate, buf_state), out = jax.lax.scan(c_body, (cstate, buf_state), keys)
+
+            def u_body(carry, k):
+                ts, buf_state = carry
+                ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, batch_size)
+                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+
+            (ts, buf_state), ustats = jax.lax.scan(u_body, (ts, buf_state), jax.random.split(k_u, n_updates))
+            return ts, cstate, buf_state, out, ustats
+
+        return jax.jit(megastep, donate_argnums=(0, 2))
+
     def run(self, ts, buf_state, key) -> TrainResult:
         p: OffPolicyTrainerParams = self.params
         t0 = time.time()
@@ -208,7 +236,14 @@ class OffPolicyTrainer(_TrainerBase):
                 ts = self._apply_hparams(ts, {"eps_training": saved_eps})
 
         n_updates = max(1, round(p.update_per_step * T * E))
-        update_fn = self._build_update_many(n_updates, p.batch_size)
+        # build the jitted programs once per trainer (repeat run() calls —
+        # warmup, resume — must not recompile)
+        if self._update_many is None and not p.fused_megastep:
+            self._update_many = self._build_update_many(n_updates, p.batch_size)
+        if getattr(self, "_megastep", None) is None and p.fused_megastep:
+            self._megastep = self._build_megastep(T, n_updates, p.batch_size)
+        update_fn = self._update_many
+        megastep_fn = getattr(self, "_megastep", None)
 
         stop = False
         for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
@@ -219,8 +254,13 @@ class OffPolicyTrainer(_TrainerBase):
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 tc = time.time()
                 key, k = _split_host(key)
-                cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
-                jax.block_until_ready(out.done)
+                if p.fused_megastep:
+                    ts, cstate, buf_state, out, upd_stats = megastep_fn(ts, cstate, buf_state, k)
+                    jax.block_until_ready(out.done)
+                    self.gradient_step += n_updates
+                else:
+                    cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                    jax.block_until_ready(out.done)
                 collect_time += time.time() - tc
                 self.env_step += T * E
                 steps_this_epoch += T * E
@@ -248,12 +288,13 @@ class OffPolicyTrainer(_TrainerBase):
                     self._epoch = epoch
                     if self._log_test(test_stats, epoch):
                         return self._result(epoch, t0, collect_time, update_time, test_time, ts, buf_state)
-                tu = time.time()
-                key, k = _split_host(key)
-                ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
-                jax.block_until_ready(ts.step)
-                update_time += time.time() - tu
-                self.gradient_step += n_updates
+                if not p.fused_megastep:
+                    tu = time.time()
+                    key, k = _split_host(key)
+                    ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
+                    jax.block_until_ready(ts.step)
+                    update_time += time.time() - tu
+                    self.gradient_step += n_updates
                 self._ts = ts
             tt = time.time()
             key, k = _split_host(key)
