@@ -104,3 +104,32 @@ def test_discrete_sac_cartpole():
     )
     res = OffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)
     assert res.best_reward >= 195, f"best_reward {res.best_reward}"
+
+
+def test_trpo_continuous_pendulum():
+    """Continuous trust-region path: Normal-distribution KL/FVP (reference
+    test/continuous/test_trpo.py)."""
+    from tianshou_tpu.env.classic.pendulum import Pendulum
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic
+
+    env = Pendulum()
+    algo = TRPO(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=1),
+        critic=DiscreteCritic(hidden_sizes=(64, 64)),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.95, gae_lambda=0.95, optim_critic_iters=5, max_kl=0.01,
+        deterministic_eval=True,
+    )
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(3))
+    tc, ec = make_collectors(env, algo, None, n_train=16, n_test=10)
+    params = OnPolicyTrainerParams(
+        max_epochs=15, epoch_num_steps=10000, test_step_num_episodes=10,
+        batch_size=1024, collection_step_num_env_steps=128,
+        update_step_num_repetitions=1,
+        stop_fn=lambda r: r >= -450, verbose=False,
+    )
+    res = OnPolicyTrainer(algo, tc, ec, params).run(ts, key)
+    assert res.best_reward >= -450, f"best_reward {res.best_reward}"
