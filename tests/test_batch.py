@@ -161,3 +161,12 @@ def test_object_array_host_only():
     assert b.info[0]["k"] == 1
     with pytest.raises(TypeError):
         b.to_jax()
+
+
+def test_isnull_dropnull():
+    b = Batch(a=np.array([1.0, np.nan, 3.0]), n=Batch(x=np.array([[1.0, 2], [3, 4], [np.nan, 6]])))
+    mask = b.isnull()
+    np.testing.assert_array_equal(np.asarray(mask.a), [False, True, False])
+    kept = b.dropnull()
+    assert len(kept) == 1
+    assert float(kept.a[0]) == 1.0

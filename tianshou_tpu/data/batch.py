@@ -301,14 +301,39 @@ class Batch:
             yield self[indices[idx : idx + size]]
 
     # ---------------- null handling (reference batch.py:1294-1325) --------
+    @staticmethod
+    def _leaf_nan_mask(x: Any):
+        if isinstance(x, np.ndarray) and x.dtype == object:
+            return None
+        dtype = np.asarray(x).dtype if isinstance(x, np.ndarray) else x.dtype
+        if jnp.issubdtype(dtype, jnp.floating):
+            return jnp.isnan(x)
+        return None
+
     def hasnull(self) -> bool:
-        def leaf_nan(x: Any) -> bool:
-            if isinstance(x, np.ndarray) and x.dtype == object:
-                return False
-            if jnp.issubdtype(np.asarray(x).dtype if isinstance(x, np.ndarray) else x.dtype, jnp.floating):
-                return bool(jnp.isnan(x).any())
-            return False
-        return any(leaf_nan(x) for x in jax.tree.leaves(self))
+        for x in jax.tree.leaves(self):
+            m = self._leaf_nan_mask(x)
+            if m is not None and bool(m.any()):
+                return True
+        return False
+
+    def isnull(self) -> "Batch":
+        """Elementwise NaN mask per leaf (reference batch.py:1294)."""
+        def f(x):
+            m = self._leaf_nan_mask(x)
+            return jnp.zeros(jnp.shape(x), bool) if m is None else m
+        return jax.tree.map(f, self)
+
+    def dropnull(self) -> "Batch":
+        """Drop rows where ANY leaf has a NaN (reference batch.py:1325)."""
+        n = len(self)
+        bad = np.zeros(n, bool)
+        for x in jax.tree.leaves(self):
+            m = self._leaf_nan_mask(x)
+            if m is not None:
+                arr = np.asarray(m)
+                bad |= arr.reshape(n, -1).any(axis=1)
+        return self[np.where(~bad)[0]]
 
     # ---------------- misc ----------------
     def __eq__(self, other: Any) -> bool:
