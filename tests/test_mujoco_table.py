@@ -80,3 +80,32 @@ def test_inverted_double_pendulum_smoke():
         state = step.state
     assert bool(jnp.isfinite(step.obs).all())
     assert float(step.reward.max()) <= 10.0
+
+
+def test_ppo_inverted_pendulum_full_score():
+    """On-policy row of the same table (PPO: 1000.0 +- 0.0)."""
+    from tianshou_tpu.algorithm import PPO
+    from tianshou_tpu.models.discrete import DiscreteCritic
+    from tianshou_tpu.trainer.trainer import OnPolicyTrainer, OnPolicyTrainerParams
+
+    env = InvertedPendulum()
+    algo = PPO(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=1),
+        critic=DiscreteCritic(hidden_sizes=(64, 64)),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=3e-4, max_grad_norm=0.5),
+        gamma=0.99, gae_lambda=0.95, eps_clip=0.2, ent_coef=0.0,
+        deterministic_eval=True,
+    )
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(4))
+    tc, ec = make_collectors(env, algo, None, n_train=16, n_test=10)
+    params = OnPolicyTrainerParams(
+        max_epochs=8, epoch_num_steps=20000, test_step_num_episodes=10,
+        batch_size=512, collection_step_num_env_steps=128,
+        update_step_num_repetitions=10,
+        stop_fn=lambda r: r >= 1000, verbose=False,
+    )
+    res = OnPolicyTrainer(algo, tc, ec, params).run(ts, key)
+    assert res.best_reward == 1000.0, f"best_reward {res.best_reward}"
