@@ -116,3 +116,52 @@ def test_trust_region_builders_smoke(builder_cls, tmp_path):
     )
     result = builder_cls(lambda: CartPole(), cfg, training).build().run("smoke")
     assert result.env_step > 0
+
+
+def test_offline_builders_smoke(pendulum_data, tmp_path):
+    """Offline builders train from a provided dataset (reference offline
+    highlevel variants)."""
+    from tianshou_tpu.highlevel.config import OfflineTrainingConfig
+    from tianshou_tpu.highlevel.experiment import (
+        BCQExperimentBuilder,
+        CQLExperimentBuilder,
+        TD3BCExperimentBuilder,
+    )
+
+    env, buffer, buf_state = pendulum_data
+    for builder_cls in (TD3BCExperimentBuilder, CQLExperimentBuilder, BCQExperimentBuilder):
+        cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+        training = OfflineTrainingConfig(
+            max_epochs=1, update_step_num_gradient_steps_per_epoch=30,
+            batch_size=64, num_test_envs=4, test_step_num_episodes=2,
+        )
+        res = (
+            builder_cls(lambda: env, cfg, training)
+            .with_dataset(buffer, buf_state)
+            .build()
+            .run(f"offline_{builder_cls.__name__}")
+        )
+        assert res.gradient_step == 30
+
+
+def test_gym_host_path_builder():
+    """High-level DQN over a registered Gymnasium task through the host
+    path (reference EnvFactoryRegistered + VectorEnvType)."""
+    from tianshou_tpu.highlevel.env import GymEnvFactory, VectorEnvType
+
+    factory = GymEnvFactory("CartPole-v1", venv_type=VectorEnvType.DUMMY)
+    result = (
+        DQNExperimentBuilder(
+            factory,
+            ExperimentConfig(seed=0, persistence_enabled=False),
+            OffPolicyTrainingConfig(
+                max_epochs=12, epoch_num_steps=5000, buffer_size=20000,
+                num_train_envs=10, num_test_envs=10, start_timesteps=1000,
+                stop_threshold=195,
+            ),
+        )
+        .with_dqn_params(gamma=0.97, n_step_return_horizon=3, target_update_freq=320, eps_training=0.3)
+        .build()
+        .run("dqn_gym_cartpole")
+    )
+    assert result.best_reward >= 195

@@ -109,3 +109,35 @@ def test_ppo_inverted_pendulum_full_score():
     )
     res = OnPolicyTrainer(algo, tc, ec, params).run(ts, key)
     assert res.best_reward == 1000.0, f"best_reward {res.best_reward}"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TIANSHOU_TPU_SLOW"),
+    reason="~45 min convergence run; measured 2026-08-16: SAC reaches 9995.4 "
+    "at 274k steps (reference table: 9359.5 +- 0.4 at 1M). Set "
+    "TIANSHOU_TPU_SLOW=1 to run.",
+)
+def test_sac_inverted_double_pendulum_table_score():
+    env = InvertedDoublePendulum()
+    algo = SAC(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(256, 256), action_dim=1, conditioned_sigma=True),
+        critic=ContinuousCritic(hidden_sizes=(256, 256)),
+        action_space=env.action_space,
+        policy_optim=AdamOptimizerFactory(lr=3e-4),
+        critic_optim=AdamOptimizerFactory(lr=3e-4),
+        gamma=0.99, tau=0.005,
+    )
+    key = jax.random.key(1)
+    key, k1 = jax.random.split(key)
+    ts = algo.init(k1, jnp.zeros(9))
+    buffer = VectorReplayBuffer(total_size=200000, buffer_num=8)
+    bs = buffer.init(transition_example(env))
+    tc, ec = make_collectors(env, algo, buffer, n_train=8, n_test=10)
+    params = OffPolicyTrainerParams(
+        max_epochs=120, epoch_num_steps=6000, test_step_num_episodes=10,
+        batch_size=256, collection_step_num_env_steps=8, update_per_step=0.25,
+        start_steps=3000, start_random=False,
+        stop_fn=lambda r: r >= 9200, verbose=False,
+    )
+    res = OffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, bs, key)
+    assert res.best_reward >= 9200, f"best_reward {res.best_reward}"

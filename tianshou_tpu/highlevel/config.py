@@ -5,7 +5,13 @@ from __future__ import annotations
 
 import dataclasses
 
-__all__ = ["ExperimentConfig", "TrainingConfig", "OnPolicyTrainingConfig", "OffPolicyTrainingConfig"]
+__all__ = [
+    "ExperimentConfig",
+    "TrainingConfig",
+    "OnPolicyTrainingConfig",
+    "OffPolicyTrainingConfig",
+    "OfflineTrainingConfig",
+]
 
 
 @dataclasses.dataclass
@@ -43,3 +49,9 @@ class OffPolicyTrainingConfig(TrainingConfig):
     batch_size: int = 64
     collection_step_num_env_steps: int = 10
     update_step_num_gradient_steps_per_sample: float = 0.1
+
+
+@dataclasses.dataclass
+class OfflineTrainingConfig(TrainingConfig):
+    batch_size: int = 128
+    update_step_num_gradient_steps_per_epoch: int = 500

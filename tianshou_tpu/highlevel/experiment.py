@@ -67,6 +67,9 @@ __all__ = [
     "C51ExperimentBuilder",
     "IQNExperimentBuilder",
     "DiscreteSACExperimentBuilder",
+    "CQLExperimentBuilder",
+    "TD3BCExperimentBuilder",
+    "BCQExperimentBuilder",
 ]
 
 
@@ -85,8 +88,13 @@ class Experiment:
     env_factory: Callable[[], Env]
     algo_factory: Callable[[Env], Any]
     logger_factory: Callable[[str], Any] | None = None
+    offline_dataset: Any = None  # (buffer, buf_state) for offline builders
 
     def run(self, run_name: str = "experiment") -> TrainResult:
+        from tianshou_tpu.highlevel.env import GymEnvFactory
+
+        if isinstance(self.env_factory, GymEnvFactory):
+            return self._run_host(run_name)
         cfg, tc = self.config, self.training
         key = jax.random.key(cfg.seed)
         np.random.seed(cfg.seed)
@@ -111,7 +119,25 @@ class Experiment:
         if tc.stop_threshold is not None:
             stop_fn = lambda r: r >= tc.stop_threshold  # noqa: E731
 
-        if isinstance(tc, OnPolicyTrainingConfig):
+        if self.offline_dataset is not None:
+            from tianshou_tpu.trainer.trainer import OfflineTrainer, OfflineTrainerParams
+
+            buffer, buf_state = self.offline_dataset
+            ecol = DeviceCollector(test_envs, algo, None)
+            params = OfflineTrainerParams(
+                max_epochs=tc.max_epochs,
+                update_step_num_gradient_steps_per_epoch=getattr(
+                    tc, "update_step_num_gradient_steps_per_epoch", 500
+                ),
+                batch_size=getattr(tc, "batch_size", 128),
+                test_step_num_episodes=tc.test_step_num_episodes,
+                stop_fn=stop_fn,
+                save_best_fn=save_best,
+                logger=logger,
+                verbose=False,
+            )
+            result = OfflineTrainer(algo, buffer, ecol, params).run(ts, buf_state, key)
+        elif isinstance(tc, OnPolicyTrainingConfig):
             tcol = DeviceCollector(train_envs, algo, None)
             ecol = DeviceCollector(test_envs, algo, None)
             params = OnPolicyTrainerParams(
@@ -169,6 +195,57 @@ class Experiment:
             stats = watch_col.collect_episodes(result.train_state, kw, cfg.watch_num_episodes, training=False)
             print(f"watch: mean return {stats.returns.mean():.2f} over {len(stats.returns)} episodes")
         return result
+
+    def _run_host(self, run_name: str) -> TrainResult:
+        """Host path for registered Gymnasium tasks (off-policy only):
+        HostCollector + HostOffPolicyTrainer, updates jitted on device."""
+        import types
+
+        from tianshou_tpu.data.host_collector import HostCollector
+        from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer
+
+        cfg, tc = self.config, self.training
+        assert isinstance(tc, OffPolicyTrainingConfig), "host path supports off-policy configs"
+        key = jax.random.key(cfg.seed)
+        np.random.seed(cfg.seed)
+        obs_space, act_space = self.env_factory.spaces()
+        env_like = types.SimpleNamespace(observation_space=obs_space, action_space=act_space)
+        algo = self.algo_factory(env_like)
+        key, k_init = jax.random.split(key)
+        ts = algo.init(k_init, jnp.zeros(obs_space.shape))
+
+        buffer = VectorReplayBuffer(
+            total_size=tc.buffer_size, buffer_num=tc.num_train_envs,
+            stack_num=tc.replay_buffer_stack_num,
+        )
+        example = Batch(
+            obs=jnp.zeros(obs_space.shape),
+            act=jnp.int32(0) if isinstance(act_space, Discrete) else jnp.zeros(act_space.shape),
+            rew=jnp.float32(0),
+            terminated=jnp.bool_(False),
+            truncated=jnp.bool_(False),
+            obs_next=jnp.zeros(obs_space.shape),
+        )
+        buf_state = buffer.init(example)
+        tcol = HostCollector(self.env_factory.create_venv(tc.num_train_envs), algo, buffer)
+        ecol = HostCollector(self.env_factory.create_venv(tc.num_test_envs), algo, None)
+        logger = self.logger_factory(run_name) if self.logger_factory else LazyLogger()
+        stop_fn = (lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None
+        params = OffPolicyTrainerParams(
+            max_epochs=tc.max_epochs,
+            epoch_num_steps=tc.epoch_num_steps,
+            test_step_num_episodes=tc.test_step_num_episodes,
+            batch_size=tc.batch_size,
+            collection_step_num_env_steps=tc.collection_step_num_env_steps,
+            update_per_step=tc.update_step_num_gradient_steps_per_sample,
+            start_steps=tc.start_timesteps,
+            start_random=tc.start_timesteps_random,
+            stop_fn=stop_fn,
+            logger=logger,
+            verbose=False,
+            seed=cfg.seed,
+        )
+        return HostOffPolicyTrainer(algo, tcol, ecol, buffer, params).run(ts, buf_state, key)
 
     @staticmethod
     def from_directory(path: str) -> dict:
@@ -436,6 +513,79 @@ class IQNExperimentBuilder(DQNExperimentBuilder):
             ),
             action_space=env.action_space,
             optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
+            **self._params,
+        )
+
+
+class _OfflineBuilder(ExperimentBuilder):
+    """Offline builders train from a fixed dataset (reference
+    highlevel/experiment.py offline variants). Provide the dataset as a
+    device buffer state via ``with_dataset(buffer, buf_state)``."""
+
+    def __init__(self, env_factory, config=None, training=None) -> None:
+        from tianshou_tpu.highlevel.config import TrainingConfig
+
+        super().__init__(env_factory, config, training or TrainingConfig())
+        self._dataset = None
+
+    def with_dataset(self, buffer, buf_state) -> "_OfflineBuilder":
+        self._dataset = (buffer, buf_state)
+        return self
+
+    def with_params(self, **kwargs):
+        self._params.update(kwargs)
+        return self
+
+    def build(self) -> "Experiment":
+        assert self._dataset is not None, "call with_dataset(buffer, buf_state) first"
+        exp = super().build()
+        exp.offline_dataset = self._dataset
+        return exp
+
+
+class CQLExperimentBuilder(_OfflineBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.cql import CQL
+        from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+
+        dim = int(env.action_space.shape[0])
+        return CQL(
+            actor=ContinuousActorProbabilistic(hidden_sizes=(128, 128), action_dim=dim, conditioned_sigma=True),
+            critic=ContinuousCritic(hidden_sizes=(128, 128)),
+            action_space=env.action_space,
+            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
+            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
+            **self._params,
+        )
+
+
+class TD3BCExperimentBuilder(_OfflineBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.td3_bc import TD3BC
+        from tianshou_tpu.models.continuous import ContinuousActorDeterministic, ContinuousCritic
+
+        dim = int(env.action_space.shape[0])
+        return TD3BC(
+            actor=ContinuousActorDeterministic(hidden_sizes=(128, 128), action_dim=dim),
+            critic=ContinuousCritic(hidden_sizes=(128, 128)),
+            action_space=env.action_space,
+            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
+            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
+            **self._params,
+        )
+
+
+class BCQExperimentBuilder(_OfflineBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.bcq import BCQ
+        from tianshou_tpu.models.continuous import ContinuousCritic, Perturbation, VAE
+
+        dim = int(env.action_space.shape[0])
+        return BCQ(
+            actor_perturbation=Perturbation(hidden_sizes=(64, 64), action_dim=dim),
+            critic=ContinuousCritic(hidden_sizes=(64, 64)),
+            vae=VAE(encoder_hidden=(64,), decoder_hidden=(64,), action_dim=dim, latent_dim=2 * dim),
+            action_space=env.action_space,
             **self._params,
         )
 
