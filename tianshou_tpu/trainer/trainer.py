@@ -245,10 +245,13 @@ class OffPolicyTrainer(_TrainerBase):
         update_fn = self._update_many
         megastep_fn = getattr(self, "_megastep", None)
 
+        from tianshou_tpu.utils.progress import progress_bar
+
         stop = False
         for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             steps_this_epoch = 0
+            pbar = progress_bar(p.epoch_num_steps, f"epoch {epoch}", p.show_progress)
             while steps_this_epoch < p.epoch_num_steps:
                 if p.train_fn is not None:
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
@@ -264,6 +267,7 @@ class OffPolicyTrainer(_TrainerBase):
                 collect_time += time.time() - tc
                 self.env_step += T * E
                 steps_this_epoch += T * E
+                pbar.update(T * E)
                 stats = None
                 if self.params.logger is not None or p.test_in_train:
                     stats = self.train_collector.stats_from(out)
@@ -296,6 +300,7 @@ class OffPolicyTrainer(_TrainerBase):
                     update_time += time.time() - tu
                     self.gradient_step += n_updates
                 self._ts = ts
+            pbar.close()
             tt = time.time()
             key, k = _split_host(key)
             test_stats = self._test(ts, self.test_collector, k)
