@@ -359,10 +359,13 @@ class OnPolicyTrainer(_TrainerBase):
                 donate_argnums=(0,),
             )
 
+        from tianshou_tpu.utils.progress import progress_bar
+
         stop = False
         for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             steps_this_epoch = 0
+            pbar = progress_bar(p.epoch_num_steps, f"epoch {epoch}", p.show_progress)
             while steps_this_epoch < p.epoch_num_steps:
                 if p.train_fn is not None:
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
@@ -372,6 +375,7 @@ class OnPolicyTrainer(_TrainerBase):
                 )
                 self.env_step += T * E
                 steps_this_epoch += T * E
+                pbar.update(T * E)
                 if self.params.logger is not None:
                     stats = self.train_collector.stats_from(out)
                     if stats.n_collected_episodes:
@@ -383,6 +387,7 @@ class OnPolicyTrainer(_TrainerBase):
                 ts, upd_stats = self._update_jit(ts, out.rollout, k)
                 self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
                 self._ts = ts
+            pbar.close()
             key, k = _split_host(key)
             test_stats = self._test(ts, self.test_collector, k)
             stop = self._log_test(test_stats, epoch)
