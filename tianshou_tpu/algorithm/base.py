@@ -117,8 +117,15 @@ class Algorithm:
     ) -> ActOut:
         raise NotImplementedError
 
-    def exploration_noise(self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """Train-time exploration (reference Policy.add_exploration_noise :354)."""
+    def exploration_noise(
+        self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array, training: bool = True
+    ) -> jnp.ndarray:
+        """Exploration hook (reference Policy.add_exploration_noise :354).
+
+        Called by collectors in BOTH train and eval mode; ``training`` is a
+        static flag letting eps-greedy policies pick ``eps_training`` vs
+        ``eps_inference`` (reference dqn.py:158 via is_within_training_step).
+        """
         return act
 
     def init_policy_state(self, num_envs: int) -> Any:

@@ -84,8 +84,8 @@ class ICMOffPolicyWrapper(OffPolicyAlgorithm, _ICMMixin):
     def forward(self, ts, obs, key, state=None, deterministic=False):
         return self.wrapped.forward(ts, obs, key, state, deterministic)
 
-    def exploration_noise(self, ts, act, obs, key):
-        return self.wrapped.exploration_noise(ts, act, obs, key)
+    def exploration_noise(self, ts, act, obs, key, training=True):
+        return self.wrapped.exploration_noise(ts, act, obs, key, training)
 
     def map_action(self, act):
         return self.wrapped.map_action(act)
@@ -138,8 +138,8 @@ class ICMOnPolicyWrapper(OnPolicyAlgorithm, _ICMMixin):
     def forward(self, ts, obs, key, state=None, deterministic=False):
         return self.wrapped.forward(ts, obs, key, state, deterministic)
 
-    def exploration_noise(self, ts, act, obs, key):
-        return self.wrapped.exploration_noise(ts, act, obs, key)
+    def exploration_noise(self, ts, act, obs, key, training=True):
+        return self.wrapped.exploration_noise(ts, act, obs, key, training)
 
     def map_action(self, act):
         return self.wrapped.map_action(act)

@@ -64,7 +64,7 @@ class PSRL(OnPolicyAlgorithm):
         s = self._obs_to_state(obs)
         return ActOut(act=ts.extra.policy[s], state=state, info=Batch())
 
-    def exploration_noise(self, ts, act, obs, key):
+    def exploration_noise(self, ts, act, obs, key, training=True):
         return act  # exploration comes from posterior sampling
 
     def update_rollout(self, ts: TrainState, rollout: Batch, key: jax.Array, repeat: int, batch_size: int):

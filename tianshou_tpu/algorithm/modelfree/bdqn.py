@@ -31,13 +31,16 @@ class BDQN(QLearningOffPolicyAlgorithm):
         act = jnp.argmax(q, axis=-1).astype(jnp.int32)  # [B, K]
         return ActOut(act=act, state=state, info=Batch(q=q))
 
-    def exploration_noise(self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    def exploration_noise(
+        self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array, training: bool = True
+    ) -> jnp.ndarray:
         """Per-sample eps-greedy over the whole branch vector (bdqn.py:74)."""
         k1, k2 = jax.random.split(key)
         q_shape = act.shape  # [B, K]
         n_per_branch = self.model.action_per_branch
         rand_act = jax.random.randint(k1, q_shape, 0, n_per_branch, dtype=act.dtype)
-        explore = jax.random.uniform(k2, (q_shape[0],)) < ts.hparams.eps_training
+        eps = ts.hparams.eps_training if training else ts.hparams.eps_inference
+        explore = jax.random.uniform(k2, (q_shape[0],)) < eps
         return jnp.where(explore[:, None], rand_act, act)
 
     def _target_q(self, ts: TrainState, obs_next: jnp.ndarray, key: jax.Array) -> jnp.ndarray:

@@ -52,8 +52,10 @@ class ContinuousOffPolicyBase(OffPolicyAlgorithm):
         self.n_step = n_step_return_horizon
         self.noise = exploration_noise
 
-    def exploration_noise(self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        if self.noise is None:
+    def exploration_noise(
+        self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array, training: bool = True
+    ) -> jnp.ndarray:
+        if self.noise is None or not training:
             return act
         return act + self.noise.sample(key, act.shape)
 

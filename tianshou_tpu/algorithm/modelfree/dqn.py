@@ -86,15 +86,19 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         act = jnp.argmax(q, axis=-1).astype(jnp.int32)
         return ActOut(act=act, state=state, info=Batch(q=q))
 
-    def exploration_noise(self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        """eps-greedy, restricted to valid actions when masked (dqn.py:153)."""
+    def exploration_noise(
+        self, ts: TrainState, act: jnp.ndarray, obs: jnp.ndarray, key: jax.Array, training: bool = True
+    ) -> jnp.ndarray:
+        """eps-greedy, restricted to valid actions when masked (dqn.py:153);
+        eps_training vs eps_inference selected by the static flag (dqn.py:158)."""
         k1, k2 = jax.random.split(key)
         mask = self._action_mask(obs)
         if mask is None:
             rand_act = jax.random.randint(k1, act.shape, 0, self.action_space.n, dtype=act.dtype)
         else:
             rand_act = jax.random.categorical(k1, jnp.where(mask, 0.0, -jnp.inf), axis=-1).astype(act.dtype)
-        explore = jax.random.uniform(k2, act.shape) < ts.hparams.eps_training
+        eps = ts.hparams.eps_training if training else ts.hparams.eps_inference
+        explore = jax.random.uniform(k2, act.shape) < eps
         return jnp.where(explore, rand_act, act)
 
     # ------------------------------------------------------------------

@@ -51,10 +51,10 @@ class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
             acts = out.act if acts is None else jnp.where(obs.agent_id == i, out.act, acts)
         return ActOut(act=acts, state=state, info=Batch())
 
-    def exploration_noise(self, ts: dict, act: jnp.ndarray, obs: Batch, key: jax.Array) -> jnp.ndarray:
+    def exploration_noise(self, ts: dict, act: jnp.ndarray, obs: Batch, key: jax.Array, training: bool = True) -> jnp.ndarray:
         keys = jax.random.split(key, self.n_agents)
         for i, algo in enumerate(self.algorithms):
-            noisy = algo.exploration_noise(ts[f"agent{i}"], act, obs, keys[i])
+            noisy = algo.exploration_noise(ts[f"agent{i}"], act, obs, keys[i], training)
             act = jnp.where(obs.agent_id == i, noisy, act)
         return act
 

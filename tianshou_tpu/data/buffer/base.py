@@ -222,7 +222,10 @@ class ReplayBuffer:
         cum = jnp.cumsum(sizes)
         total = cum[-1]
         u = jax.random.randint(key, (batch_size,), 0, jnp.maximum(total, 1))
-        env = jnp.searchsorted(cum, u, side="right")
+        # On a fully-empty buffer searchsorted returns env == num_envs, which
+        # would silently clamp on gather (reference raises; inside jit we clamp
+        # — callers must guard, see Trainer/ENABLE_VALIDATION).
+        env = jnp.minimum(jnp.searchsorted(cum, u, side="right"), self.num_envs - 1)
         offset_in_env = u - jnp.where(env > 0, cum[jnp.maximum(env - 1, 0)], 0)
         # map the k-th valid entry of a ring to an absolute slot
         oldest = self._oldest_slot(state, env)
@@ -254,11 +257,16 @@ class ReplayBuffer:
             if "obs_next" in state.data:
                 batch.obs_next = self._stacked(state, flat_idx, "obs_next", stack)
         if "obs_next" not in state.data:
-            # reconstruct obs_next = obs at next index (reference ignore_obs_next path)
+            # reconstruct obs_next = obs at next index (reference ignore_obs_next
+            # path, buffer_base.py:557-598 — which frame-stacks obs at
+            # next(index) so obs and obs_next have matching [B, stack, ...] shapes)
             nxt = self.next(state, flat_idx)
-            nenv, nslot = self._split(nxt)
-            src = state.data.obs
-            batch.obs_next = jax.tree.map(lambda a: a[nenv, nslot], src) if isinstance(src, Batch) else src[nenv, nslot]
+            if stack > 1:
+                batch.obs_next = self._stacked(state, nxt, "obs", stack)
+            else:
+                nenv, nslot = self._split(nxt)
+                src = state.data.obs
+                batch.obs_next = jax.tree.map(lambda a: a[nenv, nslot], src) if isinstance(src, Batch) else src[nenv, nslot]
         return batch
 
     def _stacked(self, state: BufferState, flat_idx: jnp.ndarray, key: str, stack: int) -> jnp.ndarray:

@@ -32,6 +32,7 @@ import numpy as np
 
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.env.core import VectorDeviceEnv
+from tianshou_tpu.utils.determinism import TraceLogger
 
 __all__ = ["CollectState", "CollectStats", "DeviceCollector"]
 
@@ -102,8 +103,9 @@ class DeviceCollector:
             ts, cstate.obs, k_act, state=cstate.policy_state, deterministic=not training
         )
         act = out.act
-        if training:
-            act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise)
+        # applied in BOTH modes: eps-greedy policies use eps_inference at
+        # eval time (reference dqn.py:158, collector.py:741)
+        act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise, training=training)
         env_act = self.algo.map_action(act)
         step = self.venv.step(cstate.env_state, env_act, k_env)
         done = step.terminated | step.truncated
@@ -182,6 +184,14 @@ class DeviceCollector:
         if sig not in self._collect_jit:
             self._collect_jit[sig] = self._build_collect(*sig)
         cstate, buf_state, out = self._collect_jit[sig](ts, cstate, buf_state, key)
+        TraceLogger.log(
+            "collector",
+            lambda: (
+                f"n_steps={n_steps} training={training} "
+                f"episodes={int(np.asarray(out.done).sum())} "
+                f"ep_ret_sum={float(np.asarray(out.ep_ret).sum()):.6f}"
+            ),
+        )
         if self.on_episode_done_hook is not None:
             self.on_episode_done_hook(self.stats_from(out))
         return cstate, buf_state, out
@@ -202,6 +212,37 @@ class DeviceCollector:
         )
 
     # ------------------------------------------------------------------
+    def _build_collect_episodes(self, chunk_steps: int, training: bool):
+        """Chunk scan with an in-scan active-env mask implementing the
+        reference's surplus-env removal (collector.py:1049-1067): start with
+        min(n, E) active envs; whenever episodes finish, deactivate just-done
+        envs so the active count never exceeds episodes still needed. This
+        removes the short-episode over-weighting of naive fixed-chunk
+        collection."""
+
+        def run(ts, cstate, active, n_done, n_target, key):
+            keys = jax.random.split(key, chunk_steps)
+
+            def body(carry, k):
+                cstate, active, n_done = carry
+                (cstate, _), per = self._step_fn(
+                    ts, (cstate, None), k, training, store=False, keep_rollout=False
+                )
+                done = per.done & active
+                n_done = n_done + done.sum()
+                remaining = jnp.maximum(n_target - n_done, 0)
+                k_deact = jnp.maximum(active.sum() - remaining, 0)
+                # deactivate the first k_deact just-done envs (env-id order)
+                rank = jnp.cumsum(done.astype(jnp.int32))
+                active = active & ~(done & (rank <= k_deact))
+                emit = Batch(done=done, ep_ret=per.ep_ret, ep_len=per.ep_len)
+                return (cstate, active, n_done), emit
+
+            (cstate, active, n_done), out = jax.lax.scan(body, (cstate, active, n_done), keys)
+            return cstate, active, n_done, out
+
+        return jax.jit(run)
+
     def collect_episodes(
         self,
         ts,
@@ -211,29 +252,46 @@ class DeviceCollector:
         training: bool = False,
         max_chunks: int = 100,
     ) -> CollectStats:
-        """Collect at least ``n_episodes`` finished episodes (test phase).
+        """Collect exactly ``n_episodes`` finished episodes (test phase).
 
-        Device scans run in fixed chunks; the host checks the episode count
-        between chunks (the static-shape answer to the reference's
-        data-dependent n_episode loop, collector.py:1049-1067). Fresh reset
-        before starting, like the reference test collector.
+        Device scans run in fixed chunks with in-scan surplus-env masking;
+        the host checks the episode count between chunks (the static-shape
+        answer to the reference's data-dependent n_episode loop,
+        collector.py:1049-1067). Fresh reset before starting, like the
+        reference test collector.
         """
         key, rk = jax.random.split(key)
         cstate = self.reset(rk)
+        E = self.venv.num_envs
+        sig = (chunk_steps, training)
+        if not hasattr(self, "_collect_ep_jit"):
+            self._collect_ep_jit = {}
+        if sig not in self._collect_ep_jit:
+            self._collect_ep_jit[sig] = self._build_collect_episodes(*sig)
+        run = self._collect_ep_jit[sig]
+        active = jnp.arange(E) < max(min(n_episodes, E), 1)
+        n_done = jnp.int32(0)
         all_rets: list[np.ndarray] = []
         all_lens: list[np.ndarray] = []
         steps = 0
-        for _ in range(max_chunks):
+        for chunk in range(max_chunks):
             key, ck = jax.random.split(key)
-            cstate, _, out = self.collect(
-                ts, cstate, None, ck, chunk_steps, training=training
-            )
+            cstate, active, n_done, out = run(ts, cstate, active, n_done, jnp.int32(n_episodes), ck)
             done = np.asarray(out.done)
             all_rets.append(np.asarray(out.ep_ret)[done])
             all_lens.append(np.asarray(out.ep_len)[done])
-            steps += done.size
-            if sum(len(r) for r in all_rets) >= n_episodes:
+            steps += int(done.size)
+            if int(n_done) >= n_episodes:
                 break
+        else:
+            import warnings
+
+            warnings.warn(
+                f"collect_episodes hit max_chunks={max_chunks} with only "
+                f"{int(n_done)}/{n_episodes} episodes finished; returning partial results",
+                stacklevel=2,
+            )
+        # emissions are time-major == completion order; truncate to exactly n
         rets = np.concatenate(all_rets)[:n_episodes]
         lens = np.concatenate(all_lens)[:n_episodes]
         return CollectStats(

@@ -24,6 +24,7 @@ import numpy as np
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.collector import CollectStats
 from tianshou_tpu.env.venvs import BaseVectorEnv
+from tianshou_tpu.utils.determinism import TraceLogger
 
 __all__ = ["HostCollector"]
 
@@ -69,9 +70,7 @@ class HostCollector:
             def fwd(ts, obs, key):
                 k1, k2 = jax.random.split(key)
                 out = algo.forward(ts, obs, k1, deterministic=not training)
-                act = out.act
-                if training:
-                    act = algo.exploration_noise(ts, act, obs, k2)
+                act = algo.exploration_noise(ts, out.act, obs, k2, training=training)
                 return act, algo.map_action(act)
 
             self._forward_jit[training] = jax.jit(fwd)
@@ -106,7 +105,10 @@ class HostCollector:
             if random:
                 space = self.venv.action_space
                 acts = np.stack([space.sample() for _ in range(E)])
-                raw_acts = acts
+                # Store the *raw-scale* action the algorithm trains on, not
+                # the env-scale sample (reference collector.py:724 applies
+                # map_action_inverse before buffer insertion).
+                raw_acts = np.asarray(self.algo.map_action_inverse(jnp.asarray(acts)))
             else:
                 obs_dev = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
                 raw, mapped = self._forward(ts, obs_dev, k1, training)
@@ -165,6 +167,13 @@ class HostCollector:
             if n_episode is not None and len(ep_returns) >= n_episode:
                 break
 
+        TraceLogger.log(
+            "host_collector",
+            lambda: (
+                f"steps={step_count} episodes={len(ep_returns)} "
+                f"ret_sum={float(np.sum(ep_returns)):.6f}"
+            ),
+        )
         return CollectStats(
             n_collected_steps=step_count,
             n_collected_episodes=len(ep_returns),

@@ -263,8 +263,12 @@ class BaseVectorEnv:
 
     def reset(self, id=None, **kwargs):
         ids = self._wrap_id(id)
-        for i in ids:
-            self.workers[i].send(None, **kwargs)
+        # decorrelate parallel envs: spread a scalar reset seed per env
+        # (reference venvs.py:324-328 applies the same spreading for seed())
+        seed = kwargs.get("seed")
+        for k, i in enumerate(ids):
+            kw = kwargs if seed is None or not np.isscalar(seed) else {**kwargs, "seed": int(seed) + i}
+            self.workers[i].send(None, **kw)
         results = [self.workers[i].recv() for i in ids]
         obs = np.stack([r[0] for r in results]) if not isinstance(results[0][0], dict) else [r[0] for r in results]
         infos = [r[1] for r in results]
@@ -309,7 +313,14 @@ class BaseVectorEnv:
         return obs, rew, term, trunc, info
 
     def seed(self, seed: int | list[int] | None = None) -> None:
-        seeds = [seed] * self.env_num if np.isscalar(seed) or seed is None else seed
+        # spread a scalar seed to [seed, seed+1, ...] so parallel envs are
+        # decorrelated (reference venvs.py:324-328)
+        if seed is None:
+            seeds: list[int | None] = [None] * self.env_num
+        elif np.isscalar(seed):
+            seeds = [int(seed) + i for i in range(self.env_num)]
+        else:
+            seeds = list(seed)
         for w, s in zip(self.workers, seeds):
             w.seed(s)
 

@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tianshou_tpu import config
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.data.collector import CollectStats, DeviceCollector
+from tianshou_tpu.utils.determinism import TraceLogger, trace_param_hash
+from tianshou_tpu.utils.statistics import MovAvg
 
 __all__ = [
     "TrainerParams",
@@ -113,8 +116,79 @@ class _TrainerBase:
         self.start_epoch = 0
         self.best_reward = -np.inf
         self.best_score = -np.inf
+        # MovAvg smoothing per loss key for the update scope
+        # (reference trainer.py:731-754)
+        self._mov: dict[str, MovAvg] = {}
         if params.resume_from_log and params.logger is not None:
             self.start_epoch, self.env_step, self.gradient_step = params.logger.restore_data()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _flat_scalars(stats, prefix: str = "") -> dict[str, np.ndarray]:
+        """Flatten a (possibly nested) stats Batch into numeric arrays."""
+        out: dict[str, np.ndarray] = {}
+        for k, v in stats.items():
+            name = f"{prefix}{k}"
+            if isinstance(v, Batch):
+                out.update(_TrainerBase._flat_scalars(v, f"{name}/"))
+                continue
+            arr = np.asarray(v)
+            if arr.dtype.kind in "fiu" and arr.size:
+                out[name] = arr
+        return out
+
+    def _log_update(self, upd_stats) -> None:
+        """Log MovAvg-smoothed losses at the update scope
+        (reference trainer.py:731-754 via log_update_data)."""
+        if upd_stats is None:
+            return
+        TraceLogger.log(
+            "trainer/update",
+            lambda: f"gradient_step={self.gradient_step} params={trace_param_hash(self._ts.params)}",
+        )
+        if self.params.logger is None:
+            return
+        data = {}
+        for k, arr in self._flat_scalars(upd_stats).items():
+            data[f"update/{k}"] = self._mov.setdefault(k, MovAvg()).add(arr)
+        if data:
+            self.params.logger.log_update_data(data, self.gradient_step)
+
+    def _log_info(self, epoch: int, t0: float, timing: dict) -> None:
+        """Epoch InfoStats/TimingStats (reference trainer.py:531-572,
+        data/stats.py:65-121) at the info scope."""
+        if self.params.logger is None:
+            return
+        total = time.time() - t0
+        data = {
+            "info/env_step": self.env_step,
+            "info/gradient_step": self.gradient_step,
+            "info/best_reward": self.best_reward,
+            "info/best_score": self.best_score,
+            "timing/total_time": total,
+        }
+        for k, v in timing.items():
+            data[f"timing/{k}_time"] = v
+        update_t = timing.get("update", 0.0)
+        collect_t = timing.get("collect", 0.0)
+        if collect_t + update_t > 0:
+            data["timing/update_speed"] = self.gradient_step / max(update_t, 1e-9)
+        self.params.logger.log_info_data(data, epoch)
+
+    def _validate_collect(self, out) -> None:
+        """NaN screen of collected data, gated by ENABLE_VALIDATION
+        (reference collector.py:515-525, trainer.py:953)."""
+        if not config.ENABLE_VALIDATION or out is None:
+            return
+        bad = []
+        for k, arr in self._flat_scalars(out if isinstance(out, Batch) else Batch(out)).items():
+            if arr.dtype.kind == "f" and np.isnan(arr).any():
+                bad.append(k)
+        if bad:
+            raise ValueError(
+                f"NaN detected in collected data at keys {bad} "
+                "(ENABLE_VALIDATION integrity check)"
+            )
 
     def _save_counters(self, epoch: int) -> None:
         if self.params.logger is not None:
@@ -179,8 +253,7 @@ class OffPolicyTrainer(_TrainerBase):
             def body(carry, k):
                 ts, buf_state = carry
                 ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, batch_size)
-                scalars = Batch(loss=stats.get("loss", jnp.float32(0.0)))
-                return (ts, buf_state), scalars
+                return (ts, buf_state), stats
 
             (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n_updates))
             return ts, buf_state, stats
@@ -204,7 +277,7 @@ class OffPolicyTrainer(_TrainerBase):
             def u_body(carry, k):
                 ts, buf_state = carry
                 ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, batch_size)
-                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+                return (ts, buf_state), stats
 
             (ts, buf_state), ustats = jax.lax.scan(u_body, (ts, buf_state), jax.random.split(k_u, n_updates))
             return ts, cstate, buf_state, out, ustats
@@ -257,6 +330,7 @@ class OffPolicyTrainer(_TrainerBase):
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 tc = time.time()
                 key, k = _split_host(key)
+                upd_stats = None
                 if p.fused_megastep:
                     ts, cstate, buf_state, out, upd_stats = megastep_fn(ts, cstate, buf_state, k)
                     jax.block_until_ready(out.done)
@@ -265,8 +339,13 @@ class OffPolicyTrainer(_TrainerBase):
                     cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
                     jax.block_until_ready(out.done)
                 collect_time += time.time() - tc
+                self._validate_collect(out)
                 self.env_step += T * E
                 steps_this_epoch += T * E
+                TraceLogger.log(
+                    "trainer/collect",
+                    lambda: f"env_step={self.env_step} episodes={int(np.asarray(out.done).sum())}",
+                )
                 pbar.update(T * E)
                 stats = None
                 if self.params.logger is not None or p.test_in_train:
@@ -300,12 +379,14 @@ class OffPolicyTrainer(_TrainerBase):
                     update_time += time.time() - tu
                     self.gradient_step += n_updates
                 self._ts = ts
+                self._log_update(upd_stats)
             pbar.close()
             tt = time.time()
             key, k = _split_host(key)
             test_stats = self._test(ts, self.test_collector, k)
             test_time += time.time() - tt
             stop = self._log_test(test_stats, epoch)
+            self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
             self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
@@ -344,6 +425,7 @@ class OnPolicyTrainer(_TrainerBase):
     def run(self, ts, key) -> TrainResult:
         p: OnPolicyTrainerParams = self.params
         t0 = time.time()
+        collect_time = update_time = test_time = 0.0
         key, k = _split_host(key)
         cstate = self.train_collector.reset(k)
         E = self.train_collector.venv.num_envs
@@ -370,32 +452,66 @@ class OnPolicyTrainer(_TrainerBase):
                 if p.train_fn is not None:
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 key, k = _split_host(key)
+                tc = time.time()
                 cstate, _, out = self.train_collector.collect(
                     ts, cstate, None, k, T, training=True, keep_rollout=True
                 )
+                jax.block_until_ready(out.done)
+                collect_time += time.time() - tc
+                self._validate_collect(out)
                 self.env_step += T * E
                 steps_this_epoch += T * E
                 pbar.update(T * E)
-                if self.params.logger is not None:
+                TraceLogger.log(
+                    "trainer/collect",
+                    lambda: f"env_step={self.env_step} episodes={int(np.asarray(out.done).sum())}",
+                )
+                stats = None
+                if self.params.logger is not None or p.test_in_train:
                     stats = self.train_collector.stats_from(out)
-                    if stats.n_collected_episodes:
-                        self.params.logger.log_train_data(
-                            {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
-                            self.env_step,
-                        )
+                if self.params.logger is not None and stats.n_collected_episodes:
+                    self.params.logger.log_train_data(
+                        {"train/reward": float(stats.returns.mean()), "train/length": float(stats.lens.mean())},
+                        self.env_step,
+                    )
+                # test_in_train early-stop confirmation (reference trainer.py:978)
+                if (
+                    p.test_in_train
+                    and p.stop_fn is not None
+                    and stats is not None
+                    and stats.n_collected_episodes > 0
+                    and p.stop_fn(float(stats.returns.mean()))
+                ):
+                    key, k = _split_host(key)
+                    self._ts = ts
+                    test_stats = self._test(ts, self.test_collector, k)
+                    self._epoch = epoch
+                    if self._log_test(test_stats, epoch):
+                        pbar.close()
+                        return self._result(epoch, t0, collect_time, update_time, test_time, ts)
                 key, k = _split_host(key)
+                tu = time.time()
                 ts, upd_stats = self._update_jit(ts, out.rollout, k)
+                jax.block_until_ready(ts.step)
+                update_time += time.time() - tu
                 self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
                 self._ts = ts
+                self._log_update(upd_stats)
             pbar.close()
             key, k = _split_host(key)
+            tt = time.time()
             test_stats = self._test(ts, self.test_collector, k)
+            test_time += time.time() - tt
             stop = self._log_test(test_stats, epoch)
+            self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
             self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
             if stop:
                 break
+        return self._result(epoch, t0, collect_time, update_time, test_time, ts)
+
+    def _result(self, epoch, t0, collect_time, update_time, test_time, ts) -> TrainResult:
         return TrainResult(
             best_score=self.best_score,
             best_reward=self.best_reward,
@@ -403,7 +519,7 @@ class OnPolicyTrainer(_TrainerBase):
             gradient_step=self.gradient_step,
             epochs=epoch,
             train_time=time.time() - t0,
-            timing={},
+            timing={"collect": collect_time, "update": update_time, "test": test_time},
             train_state=ts,
         )
 
@@ -428,7 +544,7 @@ class OfflineTrainer(_TrainerBase):
             def body(carry, k):
                 ts, buf_state = carry
                 ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, p.batch_size)
-                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+                return (ts, buf_state), stats
 
             (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n))
             return ts, buf_state, stats
@@ -439,13 +555,15 @@ class OfflineTrainer(_TrainerBase):
         for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
             self._epoch = epoch
             key, k = _split_host(key)
-            ts, buf_state, _ = update_fn(ts, buf_state, k)
+            ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
             self.gradient_step += n
             self._ts = ts
+            self._log_update(upd_stats)
             if self.test_collector is not None:
                 key, k = _split_host(key)
                 test_stats = self._test(ts, self.test_collector, k)
                 stop = self._log_test(test_stats, epoch)
+            self._log_info(epoch, t0, {})
             self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
@@ -499,7 +617,7 @@ class HostOffPolicyTrainer(_TrainerBase):
             def body(carry, k):
                 ts, buf_state = carry
                 ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, p.batch_size)
-                return (ts, buf_state), Batch(loss=stats.get("loss", jnp.float32(0.0)))
+                return (ts, buf_state), stats
 
             (ts, buf_state), stats = jax.lax.scan(body, (ts, buf_state), jax.random.split(key, n_updates))
             return ts, buf_state, stats
@@ -523,9 +641,10 @@ class HostOffPolicyTrainer(_TrainerBase):
                         {"train/reward": float(stats.returns.mean())}, self.env_step
                     )
                 key, k = _split_host(key)
-                ts, tc.buf_state, _ = update_fn(ts, tc.buf_state, k)
+                ts, tc.buf_state, upd_stats = update_fn(ts, tc.buf_state, k)
                 self.gradient_step += n_updates
                 self._ts = ts
+                self._log_update(upd_stats)
             key, k = _split_host(key)
             if p.test_fn is not None:
                 ts_test = self._apply_hparams(ts, p.test_fn(epoch, self.env_step))

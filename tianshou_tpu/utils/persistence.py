@@ -54,7 +54,12 @@ def restore_train_state(path: str, ts_template: Any) -> Any:
 
 
 def _write_tree(group, name: str, tree: Any) -> None:
-    if isinstance(tree, Batch):
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple state
+        sub = group.create_group(name)
+        sub.attrs["__type__"] = type(tree).__name__
+        for k in tree._fields:
+            _write_tree(sub, k, getattr(tree, k))
+    elif isinstance(tree, Batch):
         sub = group.create_group(name)
         sub.attrs["__type__"] = "Batch"
         for k, v in tree.items():
@@ -63,39 +68,59 @@ def _write_tree(group, name: str, tree: Any) -> None:
         group.create_dataset(name, data=np.asarray(tree))
 
 
-def _read_tree(node) -> Any:
+_STATE_TYPES: dict[str, Any] = {}
+
+
+def _state_type(name: str):
+    if not _STATE_TYPES:
+        from tianshou_tpu.data.buffer.base import BufferState as _B
+        from tianshou_tpu.data.buffer.cached import CachedState as _C
+        from tianshou_tpu.data.buffer.prio import PrioState as _P
+
+        _STATE_TYPES.update({"BufferState": _B, "PrioState": _P, "CachedState": _C})
+    return _STATE_TYPES[name]
+
+
+def _read_tree(node, to_device: bool = True) -> Any:
     import h5py
 
     if isinstance(node, h5py.Group):
-        b = Batch()
-        for k in node:
-            b[k] = _read_tree(node[k])
-        return b
-    return np.asarray(node)
+        typ = node.attrs.get("__type__", "Batch")
+        if typ == "Batch":
+            b = Batch()
+            for k in node:
+                b[k] = _read_tree(node[k], to_device)
+            return b.to_jax() if to_device else b
+        cls = _state_type(typ)
+        return cls(**{k: _read_tree(node[k], to_device) for k in node})
+    arr = np.asarray(node)
+    return jnp.asarray(arr) if to_device else arr
 
 
-def save_buffer_hdf5(path: str, state: BufferState) -> None:
+def save_buffer_hdf5(path: str, state: Any) -> None:
+    """Persist ANY buffer state (plain ``BufferState``, PER ``PrioState``
+    incl. sum tree + max/min priority, ``CachedState``) — reference
+    buffer_base.py:252-263 saves whole buffer objects."""
     import h5py
 
     with h5py.File(path, "w") as f:
-        _write_tree(f, "data", state.data)
-        f.create_dataset("cursor", data=np.asarray(state.cursor))
-        f.create_dataset("size", data=np.asarray(state.size))
-        f.create_dataset("last_idx", data=np.asarray(state.last_idx))
+        _write_tree(f, "state", state)
 
 
-def load_buffer_hdf5(path: str, to_device: bool = True) -> BufferState:
+def load_buffer_hdf5(path: str, to_device: bool = True) -> Any:
     import h5py
 
     with h5py.File(path, "r") as f:
-        data = _read_tree(f["data"])
-        state = BufferState(
-            data=data.to_jax() if to_device else data,
+        if "state" in f:
+            return _read_tree(f["state"], to_device)
+        # legacy round-1 layout (flat BufferState fields)
+        data = _read_tree(f["data"], to_device)
+        return BufferState(
+            data=data,
             cursor=jnp.asarray(np.asarray(f["cursor"])),
             size=jnp.asarray(np.asarray(f["size"])),
             last_idx=jnp.asarray(np.asarray(f["last_idx"])),
         )
-    return state
 
 
 def buffer_from_data(
@@ -111,12 +136,6 @@ def buffer_from_data(
     (reference ReplayBuffer.from_data buffer_base.py:265)."""
     n = len(obs)
     buf = buffer_cls(n) if not hasattr(buffer_cls, "capacity") else buffer_cls
-    example = Batch(
-        obs=jnp.asarray(obs[0]), act=jnp.asarray(act[0]), rew=jnp.float32(rew[0]),
-        terminated=jnp.bool_(terminated[0]), truncated=jnp.bool_(truncated[0]),
-        obs_next=jnp.asarray(obs_next[0]),
-    )
-    state = buf.init(example)
     done = np.logical_or(terminated, truncated)
     data = Batch(
         obs=jnp.asarray(obs)[None], act=jnp.asarray(act)[None], rew=jnp.asarray(rew, np.float32)[None],
