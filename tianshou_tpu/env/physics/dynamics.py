@@ -1,0 +1,380 @@
+"""Generalized-coordinate articulated dynamics from JAX transforms.
+
+Design (TPU-first, not a port of any engine):
+
+- ``forward_kinematics`` is the ONLY hand-written model function — a
+  trace-time Python loop over the (static, tiny) kinematic tree emitting
+  pure jnp ops.
+- Body velocities come from ``jvp`` of FK; kinetic energy T(q, qd) is then a
+  plain scalar function, so the mass matrix is ``jacfwd(grad(T, qd), qd)``
+  (exact — T is quadratic in qd) and the Coriolis/centrifugal forces come
+  from the Euler-Lagrange momentum form: d/dt(M qd) = ∂T/∂q - ∂V/∂q + τ.
+  No Christoffel symbols, no RNEA indexing to get wrong.
+- Contact/fluid forces act on world-frame points/bodies; their generalized
+  projection J^T f is ONE ``vjp`` of FK with the force as the cotangent.
+- Integration is symplectic-Euler on (q, p=M qd): p' = p + dt·f,
+  q' = q + dt·M⁻¹p'. Stable for the stiff penalty contacts at the MuJoCo
+  model timesteps.
+
+Everything vmaps over environments; a batch of envs becomes a handful of
+large fused XLA ops (batched small matrices), which is exactly the shape
+TPUs like. Replaces the MuJoCo dependency of the reference benchmark suite
+(/root/reference/examples/mujoco).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.env.physics.algebra import axis_angle_mat, hat, quat_to_mat, rotvec_to_mat
+from tianshou_tpu.env.physics.model import FREE, HINGE, SLIDE, Model
+
+__all__ = ["forward_kinematics", "kinetic_energy", "mass_matrix", "step", "init_state"]
+
+
+# ---------------------------------------------------------------------------
+# kinematics
+# ---------------------------------------------------------------------------
+def forward_kinematics(model: Model, q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Body frame poses: returns (p [nb,3], R [nb,3,3])."""
+    ps: list = []
+    Rs: list = []
+    for b in range(model.nbody):
+        par = model.parent[b]
+        joints = model.joints_of(b)
+        if joints and joints[0].jtype == FREE:
+            # free joint: q holds the GLOBAL pose (pos, rotvec) — MuJoCo
+            # semantics where qpos0 = body pos/quat
+            i = joints[0].q_idx
+            pb = q[i : i + 3]
+            Rb = rotvec_to_mat(q[i + 3 : i + 6])
+        else:
+            if par < 0:
+                pp, Rp = jnp.zeros(3), jnp.eye(3)
+            else:
+                pp, Rp = ps[par], Rs[par]
+            pb = pp + Rp @ jnp.asarray(model.body_pos[b])
+            Rb = Rp @ jnp.asarray(quat_np(model.body_quat[b]))
+            for j in joints:
+                qi = q[j.q_idx] - j.ref
+                axis = jnp.asarray(j.axis)
+                if j.jtype == SLIDE:
+                    pb = pb + Rb @ (axis * qi)
+                else:  # HINGE about anchor j.pos
+                    Rj = axis_angle_mat(axis, qi)
+                    anchor = jnp.asarray(j.pos)
+                    pb = pb + Rb @ (anchor - Rj @ anchor)
+                    Rb = Rb @ Rj
+        ps.append(pb)
+        Rs.append(Rb)
+    return jnp.stack(ps), jnp.stack(Rs)
+
+
+def quat_np(q: np.ndarray) -> np.ndarray:
+    """Numpy quaternion->matrix for static body offsets (trace-time)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _fk_com(model: Model, q: jnp.ndarray):
+    """COM world positions + body rotations (the vjp/jvp workhorse)."""
+    p, R = forward_kinematics(model, q)
+    pcom = p + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.body_com))
+    return pcom, R
+
+
+def _body_velocities(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
+    """(pcom, R, vcom, omega) via one jvp of FK."""
+    (pcom, R), (vcom, Rd) = jax.jvp(lambda q: _fk_com(model, q), (q,), (qd,))
+    W = jnp.einsum("bij,bkj->bik", Rd, R)  # Rd @ R^T, skew
+    omega = 0.5 * jnp.stack(
+        [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
+    )
+    return pcom, R, vcom, omega
+
+
+# ---------------------------------------------------------------------------
+# energies
+# ---------------------------------------------------------------------------
+def kinetic_energy(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    _, R, vcom, omega = _body_velocities(model, q, qd)
+    m = jnp.asarray(model.body_mass)
+    I_world = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(model.body_inertia), R)
+    T = 0.5 * jnp.sum(m * jnp.sum(vcom * vcom, axis=1))
+    T = T + 0.5 * jnp.einsum("bi,bij,bj->", omega, I_world, omega)
+    # rotor/armature inertia per scalar dof (MuJoCo joint/@armature)
+    arm = _armature(model)
+    return T + 0.5 * jnp.sum(jnp.asarray(arm) * qd * qd)
+
+
+def _armature(model: Model) -> np.ndarray:
+    arm = np.zeros(model.nq)
+    for j in model.joints:
+        if j.jtype != FREE:
+            arm[j.q_idx] = j.armature
+    return arm
+
+
+def potential_energy(model: Model, q: jnp.ndarray) -> jnp.ndarray:
+    pcom, _ = _fk_com(model, q)
+    g = jnp.asarray(model.gravity)
+    return -jnp.sum(jnp.asarray(model.body_mass) * (pcom @ g))
+
+
+def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
+    """M(q) — exact, since T is quadratic in qd."""
+    zero = jnp.zeros(model.nq)
+    return jax.jacfwd(jax.grad(lambda qd: kinetic_energy(model, q, qd)))(zero)
+
+
+# ---------------------------------------------------------------------------
+# forces
+# ---------------------------------------------------------------------------
+def _passive_joint_forces(
+    model: Model, q: jnp.ndarray, qd: jnp.ndarray, m_diag: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint springs + limit penalty springs, and the joint-space damping
+    DIAGONAL (joint damping + limit damping) to be integrated implicitly —
+    explicit damping at these gains is unstable when a model starts on its
+    limits (walker2d/hopper ranges end at 0)."""
+    damping = np.zeros(model.nq)
+    stiffness = np.zeros(model.nq)
+    springref = np.zeros(model.nq)
+    lo = np.full(model.nq, -np.inf)
+    hi = np.full(model.nq, np.inf)
+    for j in model.joints:
+        if j.jtype == FREE:
+            continue
+        damping[j.q_idx] = j.damping
+        stiffness[j.q_idx] = j.stiffness
+        springref[j.q_idx] = j.springref
+        if j.limited:
+            lo[j.q_idx], hi[j.q_idx] = j.range
+    tau = -jnp.asarray(stiffness) * (q - jnp.asarray(springref))
+    # limits: penalty spring with per-dof gains scaled by the joint's own
+    # inertia (MuJoCo solreflimit=(0.02, 1) critically damped analogue)
+    omega_l = 2.0 / 0.02
+    k_lim = m_diag * omega_l * omega_l
+    d_lim = 2.0 * m_diag * omega_l
+    viol_hi = jnp.maximum(q - jnp.asarray(hi), 0.0)
+    viol_lo = jnp.maximum(jnp.asarray(lo) - q, 0.0)
+    in_viol = (viol_hi > 0) | (viol_lo > 0)
+    tau = tau - k_lim * viol_hi + k_lim * viol_lo
+    D = jnp.asarray(damping) + jnp.where(in_viol, d_lim, 0.0)
+    return tau, D
+
+
+def _external_forces(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    """Generalized forces from plane contacts + ambient fluid, via ONE vjp
+    of FK with world-frame forces/torques as cotangents."""
+    nc = len(model.contact_radius)
+    has_fluid = model.fluid_density > 0 or model.fluid_viscosity > 0
+    if nc == 0 and not has_fluid:
+        return jnp.zeros(model.nq)
+
+    def points_and_frames(q):
+        pcom, R = _fk_com(model, q)
+        out = [pcom, R]
+        if nc:
+            cb = jnp.asarray(model.contact_body)
+            off = jnp.asarray(model.contact_offset)
+            p, Rb = forward_kinematics(model, q)
+            x = p[cb] + jnp.einsum("cij,cj->ci", Rb[cb], off)
+            out.append(x)
+        return tuple(out)
+
+    prim, tangent = jax.jvp(points_and_frames, (q,), (qd,))
+    pcom, R = prim[0], prim[1]
+    vcom, Rd = tangent[0], tangent[1]
+
+    F_com = jnp.zeros_like(pcom)
+    T_body = jnp.zeros_like(pcom)
+    f_contact = None
+
+    if has_fluid:
+        W = jnp.einsum("bij,bkj->bik", Rd, R)
+        omega = 0.5 * jnp.stack(
+            [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
+        )
+        # equivalent inertia box (MuJoCo legacy fluid model)
+        m = np.maximum(model.body_mass, 1e-9)
+        diag = np.einsum("bii->bi", model.body_inertia)
+        box2 = np.maximum(
+            6.0 / m[:, None] * (diag.sum(1, keepdims=True) - 2 * diag) / 2.0, 1e-8
+        )  # (2*half_size)^2 per axis
+        box = np.sqrt(box2)  # full edge lengths
+        half = jnp.asarray(box / 2.0)
+        v_l = jnp.einsum("bji,bj->bi", R, vcom)  # world -> body
+        w_l = jnp.einsum("bji,bj->bi", R, omega)
+        d_eq = jnp.asarray(box.mean(axis=1))
+        mu = model.fluid_viscosity
+        rho = model.fluid_density
+        F_l = -3.0 * jnp.pi * mu * d_eq[:, None] * v_l
+        T_l = -jnp.pi * mu * (d_eq**3)[:, None] * w_l
+        if rho > 0:
+            area = jnp.stack(
+                [4 * half[:, 1] * half[:, 2], 4 * half[:, 0] * half[:, 2], 4 * half[:, 0] * half[:, 1]],
+                axis=1,
+            )
+            F_l = F_l - 0.5 * rho * area * jnp.abs(v_l) * v_l
+            # quadratic rotational drag over the box faces
+            it = jnp.stack(
+                [
+                    half[:, 1] ** 4 * half[:, 2] + half[:, 2] ** 4 * half[:, 1],
+                    half[:, 0] ** 4 * half[:, 2] + half[:, 2] ** 4 * half[:, 0],
+                    half[:, 0] ** 4 * half[:, 1] + half[:, 1] ** 4 * half[:, 0],
+                ],
+                axis=1,
+            )
+            T_l = T_l - 0.5 * rho * it * jnp.abs(w_l) * w_l
+        F_com = F_com + jnp.einsum("bij,bj->bi", R, F_l)
+        T_body = T_body + jnp.einsum("bij,bj->bi", R, T_l)
+
+    if nc:
+        x, v = prim[2], tangent[2]
+        r = jnp.asarray(model.contact_radius)
+        mu_c = jnp.asarray(model.contact_friction)
+        depth = r - x[:, 2]
+        active = depth > 0
+        kp, kd = model.contact_stiffness, model.contact_damping
+        fn = jnp.where(active, jnp.maximum(kp * depth - kd * v[:, 2], 0.0), 0.0)
+        vt = v[:, :2]
+        speed = jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-12)
+        # viscous tangential force capped by the Coulomb cone
+        kt = 2.0 * kd
+        ft_mag = jnp.minimum(kt * speed, mu_c * fn)
+        ft = -vt * (ft_mag / speed)[:, None]
+        f_contact = jnp.concatenate([ft, fn[:, None]], axis=1)
+
+    # power-conjugate cotangents: force on COM point, ½ hat(T) R on rotation
+    cot_R = 0.5 * jnp.einsum("bij,bjk->bik", _hat_batch(T_body), R)
+    cots = [F_com, cot_R]
+    if nc:
+        cots.append(f_contact)
+    _, pullback = jax.vjp(points_and_frames, q)
+    (tau,) = pullback(tuple(cots))
+    return tau
+
+
+def _hat_batch(v: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[:, 2], v[:, 1]], axis=1),
+            jnp.stack([v[:, 2], z, -v[:, 0]], axis=1),
+            jnp.stack([-v[:, 1], v[:, 0], z], axis=1),
+        ],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# actuation + integration
+# ---------------------------------------------------------------------------
+def actuation(model: Model, ctrl: jnp.ndarray) -> jnp.ndarray:
+    """Map clipped controls through gears onto joint dofs."""
+    tau = jnp.zeros(model.nq)
+    for i, a in enumerate(model.actuators):
+        c = jnp.clip(ctrl[i], a.ctrlrange[0], a.ctrlrange[1])
+        tau = tau.at[a.q_idx].add(a.gear * c)
+    return tau
+
+
+def bias_force(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    """Exact Coriolis/centrifugal bias  ∂T/∂q − Ṁqd  (so that
+    M q̈ = τ + bias − ∂V/∂q), from two second-order AD passes — no
+    Christoffel symbols, no RNEA."""
+    dTdq = jax.grad(lambda q_: kinetic_energy(model, q_, qd))(q)
+    # Ṁ qd = d/dq (∂T/∂qd) · qd   (directional derivative along qd)
+    _, mdot_qd = jax.jvp(
+        lambda q_: jax.grad(lambda qd_: kinetic_energy(model, q_, qd_))(qd), (q,), (qd,)
+    )
+    return dTdq - mdot_qd
+
+
+def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray, dt: float):
+    M = mass_matrix(model, q)
+    m_diag = jnp.diagonal(M)
+    dVdq = jax.grad(lambda q_: potential_energy(model, q_))(q)
+    tau_p, D = _passive_joint_forces(model, q, qd, m_diag)
+    f = tau_act + bias_force(model, q, qd) - dVdq + tau_p + _external_forces(model, q, qd)
+    # semi-implicit Euler with IMPLICIT joint-space damping:
+    # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D
+    A = M + dt * jnp.diag(D)
+    qd_new = jnp.linalg.solve(A, M @ qd + dt * f)
+    q_new = q + dt * qd_new
+    return q_new, qd_new
+
+
+def _rotvec_jacobian(r: jnp.ndarray) -> jnp.ndarray:
+    """B(r) with omega = B(r) @ rdot, from autodiff of the exp map."""
+
+    def omega_of(rd):
+        R, Rd = jax.jvp(rotvec_to_mat, (r,), (rd,))
+        W = Rd @ R.T
+        return 0.5 * jnp.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]])
+
+    return jax.vmap(omega_of)(jnp.eye(3)).T
+
+
+def _remap_free_rotations(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
+    """Keep free-joint rotation vectors in |r| <= pi: the exp map is
+    singular at |r| = 2*pi (mass matrix in these coordinates drops rank),
+    so a tumbling body must be re-chartted. r -> r(1 - 2*pi/|r|) is the
+    same rotation; rdot is remapped so the physical angular velocity is
+    unchanged (omega = B(r) rdot = B(r') rdot')."""
+    for j in model.joints:
+        if j.jtype != FREE:
+            continue
+        i = j.q_idx + 3
+        r = q[i : i + 3]
+        rd = qd[i : i + 3]
+        norm = jnp.sqrt(jnp.sum(r * r) + 1e-12)
+        need = norm > jnp.pi
+        r_new = r * (1.0 - 2.0 * jnp.pi / norm)
+        omega = _rotvec_jacobian(r) @ rd
+        rd_new = jnp.linalg.solve(_rotvec_jacobian(r_new), omega)
+        q = q.at[i : i + 3].set(jnp.where(need, r_new, r))
+        qd = qd.at[i : i + 3].set(jnp.where(need, rd_new, rd))
+    return q, qd
+
+
+def step(
+    model: Model,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    ctrl: jnp.ndarray,
+    frame_skip: int = 1,
+    substeps: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Advance ``frame_skip`` model timesteps (each split into ``substeps``
+    integrator substeps; default keeps the contact-stable dt <= 2ms).
+    Returns (q, qd)."""
+    if substeps is None:
+        substeps = max(1, int(np.ceil(model.timestep / 0.002 - 1e-9)))
+    tau = actuation(model, ctrl)
+    dt = model.timestep / substeps
+    n = frame_skip * substeps
+    has_free = any(j.jtype == FREE for j in model.joints)
+
+    def body(carry, _):
+        q, qd = carry
+        q, qd = _substep(model, q, qd, tau, dt)
+        if has_free:
+            q, qd = _remap_free_rotations(model, q, qd)
+        return (q, qd), None
+
+    (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n)
+    return q, qd
+
+
+def init_state(model: Model) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return jnp.asarray(model.qpos0, jnp.float32), jnp.zeros(model.nq, jnp.float32)

@@ -1,0 +1,212 @@
+"""Static physics model description.
+
+A :class:`Model` is plain numpy/python data (hashable by identity) that the
+dynamics functions close over — everything reaching XLA is derived from it
+at trace time, so a model never causes retraces across steps.
+
+Inertia computation follows MuJoCo's ``inertiafromgeom``: per-geom mass from
+density * volume, analytic capsule/sphere/cylinder/box inertia tensors,
+composed into per-body (mass, COM, inertia-about-COM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["Joint", "Geom", "Actuator", "Model", "geom_mass_inertia"]
+
+# joint type codes
+FREE, SLIDE, HINGE = 0, 1, 2
+
+
+@dataclasses.dataclass
+class Joint:
+    jtype: int              # FREE / SLIDE / HINGE
+    body: int               # body this joint moves
+    axis: np.ndarray        # [3] local axis (slide/hinge)
+    pos: np.ndarray         # [3] anchor in body frame (hinge)
+    q_idx: int              # start index in q (size 1, or 6 for free)
+    ref: float = 0.0        # qpos reference (MuJoCo joint/@ref)
+    armature: float = 0.0
+    damping: float = 0.0
+    stiffness: float = 0.0
+    springref: float = 0.0
+    limited: bool = False
+    range: tuple[float, float] = (0.0, 0.0)
+    name: str = ""
+
+    @property
+    def size(self) -> int:
+        return 6 if self.jtype == FREE else 1
+
+
+@dataclasses.dataclass
+class Geom:
+    gtype: str              # "capsule" | "sphere" | "cylinder" | "box" | "plane"
+    body: int
+    size: np.ndarray        # capsule/cylinder: (r, half_len); sphere: (r,); box: half-sizes
+    pos: np.ndarray         # [3] center in body frame
+    rot: np.ndarray         # [3,3] geom->body rotation (z = capsule axis)
+    friction: float = 1.0
+    density: float = 1000.0
+    mass: float | None = None   # explicit mass overrides density
+    contact: bool = True    # participates in plane contacts (contype != 0)
+    name: str = ""
+
+
+@dataclasses.dataclass
+class Actuator:
+    q_idx: int
+    gear: float
+    ctrlrange: tuple[float, float] = (-1.0, 1.0)
+    name: str = ""
+
+
+@dataclasses.dataclass
+class Model:
+    nbody: int
+    parent: list[int]               # -1 = world
+    body_pos: np.ndarray            # [nb, 3]
+    body_quat: np.ndarray           # [nb, 4] (w, x, y, z)
+    body_names: list[str]
+    joints: list[Joint]             # document order; q indices precomputed
+    geoms: list[Geom]
+    actuators: list[Actuator]
+    nq: int
+    qpos0: np.ndarray               # [nq]
+    # world
+    gravity: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0.0, 0.0, -9.81]))
+    timestep: float = 0.002
+    # ambient fluid (MuJoCo option/@density, option/@viscosity — swimmer)
+    fluid_density: float = 0.0
+    fluid_viscosity: float = 0.0
+    # derived per-body inertia (filled by finalize)
+    body_mass: np.ndarray | None = None     # [nb]
+    body_com: np.ndarray | None = None      # [nb, 3]
+    body_inertia: np.ndarray | None = None  # [nb, 3, 3] about COM, body frame
+    # contact spheres: (body, offset[3], radius, friction) rows
+    contact_body: np.ndarray | None = None
+    contact_offset: np.ndarray | None = None
+    contact_radius: np.ndarray | None = None
+    contact_friction: np.ndarray | None = None
+    # contact solver (critically damped penalty, MuJoCo solref-style)
+    contact_stiffness: float = 0.0   # filled by finalize if 0
+    contact_damping: float = 0.0
+
+    # ------------------------------------------------------------------
+    def joints_of(self, body: int) -> list[Joint]:
+        return [j for j in self.joints if j.body == body]
+
+    @property
+    def total_mass(self) -> float:
+        return float(self.body_mass.sum())
+
+    def finalize(self, settotalmass: float | None = None) -> "Model":
+        """Compute per-body mass/COM/inertia from geoms and build contact
+        sphere tables. Call once after construction."""
+        nb = self.nbody
+        mass = np.zeros(nb)
+        com = np.zeros((nb, 3))
+        inertia = np.zeros((nb, 3, 3))
+        first = [[] for _ in range(nb)]
+        for g in self.geoms:
+            if g.gtype == "plane":
+                continue
+            m, i_local = geom_mass_inertia(g)
+            first[g.body].append((m, g.pos, g.rot @ i_local @ g.rot.T))
+        for b in range(nb):
+            gs = first[b]
+            if not gs:
+                mass[b] = 1e-6  # massless connector body
+                continue
+            m_tot = sum(m for m, _, _ in gs)
+            c = sum(m * p for m, p, _ in gs) / m_tot
+            it = np.zeros((3, 3))
+            for m, p, i_b in gs:
+                d = p - c
+                it += i_b + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+            mass[b], com[b], inertia[b] = m_tot, c, it
+        if settotalmass is not None and mass.sum() > 0:
+            s = settotalmass / mass.sum()
+            mass *= s
+            inertia *= s
+        self.body_mass, self.body_com, self.body_inertia = mass, com, inertia
+
+        # contact spheres: capsule ends + sphere centers of contact geoms
+        rows = []
+        for g in self.geoms:
+            if g.gtype == "plane" or not g.contact:
+                continue
+            if g.gtype == "sphere":
+                rows.append((g.body, g.pos, g.size[0], g.friction))
+            elif g.gtype in ("capsule", "cylinder"):
+                axis = g.rot[:, 2]
+                h = g.size[1]
+                rows.append((g.body, g.pos + h * axis, g.size[0], g.friction))
+                rows.append((g.body, g.pos - h * axis, g.size[0], g.friction))
+            elif g.gtype == "box":
+                # 4 bottom + 4 top corner spheres of small radius
+                r = 0.2 * min(g.size)
+                for sx in (-1, 1):
+                    for sy in (-1, 1):
+                        for sz in (-1, 1):
+                            off = g.pos + g.rot @ (np.array([sx, sy, sz]) * (g.size - r))
+                            rows.append((g.body, off, r, g.friction))
+        if rows:
+            self.contact_body = np.array([r[0] for r in rows], np.int32)
+            self.contact_offset = np.stack([r[1] for r in rows]).astype(np.float64)
+            self.contact_radius = np.array([r[2] for r in rows])
+            self.contact_friction = np.array([r[3] for r in rows])
+        else:
+            self.contact_body = np.zeros(0, np.int32)
+            self.contact_offset = np.zeros((0, 3))
+            self.contact_radius = np.zeros(0)
+            self.contact_friction = np.zeros(0)
+
+        # critically-damped penalty gains from the MuJoCo solref default
+        # (timeconst=0.02s, dampratio=1): omega = 2/timeconst, per-contact
+        # effective mass ~ total/contact_count
+        if self.contact_stiffness == 0.0 and len(rows):
+            m_eff = mass.sum() / max(len(rows), 1)
+            omega = 2.0 / 0.02
+            self.contact_stiffness = float(m_eff * omega * omega)
+            self.contact_damping = float(2.0 * m_eff * omega)
+        return self
+
+
+def geom_mass_inertia(g: Geom) -> tuple[float, np.ndarray]:
+    """(mass, inertia about geom COM in geom frame, z = symmetry axis)."""
+    rho = g.density
+    if g.gtype == "sphere":
+        r = float(g.size[0])
+        m = g.mass if g.mass is not None else rho * 4.0 / 3.0 * np.pi * r**3
+        i = 2.0 / 5.0 * m * r * r * np.eye(3)
+        return m, i
+    if g.gtype == "capsule":
+        r, h = float(g.size[0]), float(g.size[1])
+        length = 2.0 * h
+        m_cyl = rho * np.pi * r * r * length
+        m_hs = rho * 2.0 / 3.0 * np.pi * r**3  # one hemisphere
+        m = g.mass if g.mass is not None else m_cyl + 2 * m_hs
+        scale = m / (m_cyl + 2 * m_hs)
+        m_cyl, m_hs = m_cyl * scale, m_hs * scale
+        izz = m_cyl * r * r / 2.0 + 2 * m_hs * (2.0 / 5.0) * r * r
+        ixx = (
+            m_cyl * (length * length / 12.0 + r * r / 4.0)
+            + 2 * m_hs * (2.0 / 5.0 * r * r + h * h + 0.75 * h * r)
+        )
+        return m, np.diag([ixx, ixx, izz])
+    if g.gtype == "cylinder":
+        r, h = float(g.size[0]), float(g.size[1])
+        length = 2.0 * h
+        m = g.mass if g.mass is not None else rho * np.pi * r * r * length
+        izz = m * r * r / 2.0
+        ixx = m * (length * length / 12.0 + r * r / 4.0)
+        return m, np.diag([ixx, ixx, izz])
+    if g.gtype == "box":
+        sx, sy, sz = (2.0 * np.asarray(g.size)).tolist()
+        m = g.mass if g.mass is not None else rho * sx * sy * sz
+        return m, m / 12.0 * np.diag([sy**2 + sz**2, sx**2 + sz**2, sx**2 + sy**2])
+    raise ValueError(f"unsupported geom type {g.gtype}")
