@@ -1,0 +1,91 @@
+"""Base class for device MuJoCo-class locomotion envs.
+
+Task structure (observations, rewards, termination, reset noise, horizons)
+mirrors the Gymnasium MuJoCo v4 envs the reference benchmarks against
+(/root/reference/examples/mujoco/README.md); dynamics run on the
+:mod:`tianshou_tpu.env.physics` core with models loaded from the same
+asset XMLs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.env.core import Box, Env, EnvStep
+from tianshou_tpu.env.physics import load_mjcf
+from tianshou_tpu.env.physics import dynamics as dyn
+
+__all__ = ["PhysState", "MujocoEnv"]
+
+
+class PhysState(NamedTuple):
+    q: jnp.ndarray
+    qd: jnp.ndarray
+    t: jnp.ndarray
+
+
+class MujocoEnv(Env):
+    xml: str = ""
+    frame_skip: int = 5
+    max_episode_steps = 1000
+    # gym reset_noise_scale
+    reset_noise_scale: float = 0.1
+    reset_noise_kind: str = "uniform"  # qpos noise; qvel noise is scaled normal
+
+    def __init__(self, max_episode_steps: int | None = None) -> None:
+        if max_episode_steps is not None:
+            self.max_episode_steps = max_episode_steps
+        self.model = load_mjcf(self.xml)
+        nu = len(self.model.actuators)
+        self.action_space = Box(low=[-1.0] * nu, high=[1.0] * nu)
+        obs_dim = int(np.asarray(self._obs(dyn.init_state(self.model)[0], jnp.zeros(self.model.nq))).shape[0])
+        self.observation_space = Box(low=[-np.inf] * obs_dim, high=[np.inf] * obs_dim)
+
+    # -- task hooks -----------------------------------------------------
+    def _obs(self, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _reward(self, q0, qd0, q1, qd1, action) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _terminated(self, q, qd) -> jnp.ndarray:
+        return jnp.bool_(False)
+
+    @property
+    def dt(self) -> float:
+        return self.model.timestep * self.frame_skip
+
+    # -- Env protocol ---------------------------------------------------
+    def reset(self, key: jax.Array):
+        k1, k2 = jax.random.split(key)
+        s = self.reset_noise_scale
+        q0 = jnp.asarray(self.model.qpos0, jnp.float32)
+        if self.reset_noise_kind == "uniform":
+            q = q0 + jax.random.uniform(k1, (self.model.nq,), minval=-s, maxval=s)
+            qd = s * jax.random.normal(k2, (self.model.nq,))
+        else:  # both uniform (hopper/walker style)
+            q = q0 + jax.random.uniform(k1, (self.model.nq,), minval=-s, maxval=s)
+            qd = jax.random.uniform(k2, (self.model.nq,), minval=-s, maxval=s)
+        st = PhysState(q.astype(jnp.float32), qd.astype(jnp.float32), jnp.int32(0))
+        return st, self._obs(st.q, st.qd)
+
+    def step(self, state: PhysState, action: jnp.ndarray, key: jax.Array) -> EnvStep:
+        a = jnp.clip(action, -1.0, 1.0)
+        q1, qd1 = dyn.step(self.model, state.q, state.qd, a, frame_skip=self.frame_skip)
+        t = state.t + 1
+        new = PhysState(q1, qd1, t)
+        rew = self._reward(state.q, state.qd, q1, qd1, a)
+        terminated = self._terminated(q1, qd1)
+        return EnvStep(
+            state=new,
+            obs=self._obs(q1, qd1),
+            reward=jnp.float32(rew),
+            terminated=terminated,
+            truncated=(t >= self.max_episode_steps) & ~terminated,
+            info=Batch(),
+        )
