@@ -1,0 +1,111 @@
+"""PPO on the device MuJoCo-class envs — TPU rebuild of the reference
+benchmark script (examples/mujoco/mujoco_ppo.py).
+
+The reference runs 8 subprocess envs at ~hundreds of steps/s; here the envs
+are vmapped pure functions inside the collector's lax.scan, so the same
+algorithm sweeps thousands of envs per device dispatch. Hyperparameters
+follow the reference where they transfer (net sizes, lr + linear decay,
+gamma/gae, clip/value-clip, obs normalization); the env/rollout geometry is
+TPU-scale (many envs x shorter rollouts, same total batch per update).
+
+    python examples/mujoco/mujoco_ppo.py --task HalfCheetah --epochs 30
+"""
+
+import sys as _sys
+from pathlib import Path as _P
+
+_sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def train(
+    task: str = "HalfCheetah",
+    seed: int = 0,
+    epochs: int = 30,
+    epoch_num_steps: int = 100_000,
+    num_envs: int = 256,
+    rollout_len: int = 64,
+    repeat: int = 10,
+    batch_size: int = 4096,
+    lr: float = 3e-4,
+    lr_decay: bool = True,
+    gamma: float = 0.99,
+    gae_lambda: float = 0.95,
+    hidden: tuple = (64, 64),
+    test_episodes: int = 10,
+    logger=None,
+    verbose: bool = True,
+):
+    from tianshou_tpu.algorithm.modelfree.ppo import PPO
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory, linear_lr_schedule
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.core import VectorDeviceEnv
+    from tianshou_tpu.env.mujoco import make
+    from tianshou_tpu.env.wrappers import NormObs
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+    from tianshou_tpu.trainer.trainer import OnPolicyTrainer, OnPolicyTrainerParams
+
+    env = NormObs(make(task))
+    nu = env.action_space.shape[0]
+    obs_dim = env.observation_space.shape[0]
+    total_updates = max(1, epochs * epoch_num_steps // (num_envs * rollout_len)) * repeat
+    sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
+    algo = PPO(
+        actor=ContinuousActorProbabilistic(hidden_sizes=hidden, action_dim=nu),
+        critic=ContinuousCritic(hidden_sizes=hidden, use_action=False),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=sched, max_grad_norm=0.5),
+        gamma=gamma,
+        gae_lambda=gae_lambda,
+        eps_clip=0.2,
+        value_clip=True,
+        advantage_normalization=False,
+        return_standardization=True,
+        vf_coef=0.25,
+        ent_coef=0.0,
+        action_bound_method="clip",
+        deterministic_eval=True,
+    )
+    key = jax.random.key(seed)
+    key, k = jax.random.split(key)
+    ts = algo.init(k, jnp.zeros(obs_dim))
+    train_c = DeviceCollector(VectorDeviceEnv(env, num_envs), algo, None)
+    test_c = DeviceCollector(VectorDeviceEnv(env, max(test_episodes, 10)), algo, None)
+    params = OnPolicyTrainerParams(
+        max_epochs=epochs,
+        epoch_num_steps=epoch_num_steps,
+        test_step_num_episodes=test_episodes,
+        batch_size=batch_size,
+        collection_step_num_env_steps=rollout_len,
+        update_step_num_repetitions=repeat,
+        logger=logger,
+        verbose=verbose,
+    )
+    trainer = OnPolicyTrainer(algo, train_c, test_c, params)
+    t0 = time.time()
+    result = trainer.run(ts, key)
+    steps_per_s = result.env_step / max(time.time() - t0, 1e-9)
+    if verbose:
+        print(f"best_reward={result.best_reward:.1f} env_steps={result.env_step} ({steps_per_s:,.0f} steps/s)")
+    return result
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="HalfCheetah")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--epoch-num-steps", type=int, default=100_000)
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--repeat", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--lr", type=float, default=3e-4)
+    args = p.parse_args()
+    train(**{k.replace("-", "_"): v for k, v in vars(args).items()})

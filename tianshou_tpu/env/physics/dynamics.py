@@ -130,9 +130,22 @@ def potential_energy(model: Model, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
-    """M(q) — exact, since T is quadratic in qd."""
-    zero = jnp.zeros(model.nq)
-    return jax.jacfwd(jax.grad(lambda qd: kinetic_energy(model, q, qd)))(zero)
+    """M(q) assembled from body Jacobians: one ``jacfwd`` of FK gives
+    J_v (COM linear) and J_omega (angular) per body, then
+    M = sum_b m J_v^T J_v + J_w^T I_world J_w + diag(armature).
+    Equals hessian_qd(T) exactly but costs only forward-mode passes."""
+    pcom, R = _fk_com(model, q)
+    dp, dR = jax.jacfwd(lambda q_: _fk_com(model, q_))(q)  # [nb,3,n], [nb,3,3,n]
+    # J_omega[:, :, i] = vee(dR[..., i] @ R^T)
+    W = jnp.einsum("bijn,bkj->bikn", dR, R)
+    Jw = 0.5 * jnp.stack(
+        [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
+    )  # [nb, 3, n]
+    mass = jnp.asarray(model.body_mass)
+    I_world = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(model.body_inertia), R)
+    M = jnp.einsum("b,bin,bim->nm", mass, dp, dp)
+    M = M + jnp.einsum("bin,bij,bjm->nm", Jw, I_world, Jw)
+    return M + jnp.diag(jnp.asarray(_armature(model)))
 
 
 # ---------------------------------------------------------------------------
@@ -307,9 +320,11 @@ def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray
     tau_p, D = _passive_joint_forces(model, q, qd, m_diag)
     f = tau_act + bias_force(model, q, qd) - dVdq + tau_p + _external_forces(model, q, qd)
     # semi-implicit Euler with IMPLICIT joint-space damping:
-    # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D
+    # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D.
+    # A is SPD (M is a mass matrix + armature, D >= 0) -> Cholesky solve.
     A = M + dt * jnp.diag(D)
-    qd_new = jnp.linalg.solve(A, M @ qd + dt * f)
+    chol = jax.scipy.linalg.cho_factor(A)
+    qd_new = jax.scipy.linalg.cho_solve(chol, M @ qd + dt * f)
     q_new = q + dt * qd_new
     return q_new, qd_new
 
