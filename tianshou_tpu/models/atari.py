@@ -31,6 +31,8 @@ class NatureCNN(nn.Module):
             x = x.astype(self.compute_dtype) / 255.0
         else:
             x = x.astype(self.compute_dtype)
+        if x.ndim == 5:  # frame-stacked [B, L, H, W, C] -> fold L into channels
+            x = jnp.moveaxis(x, 1, -1).reshape(x.shape[0], x.shape[2], x.shape[3], -1)
         if x.ndim == 4 and x.shape[1] in (1, 4) and x.shape[-1] not in (1, 4):
             x = jnp.transpose(x, (0, 2, 3, 1))  # accept NCHW input
         x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4), dtype=self.compute_dtype)(x))
