@@ -27,6 +27,18 @@ import jax.numpy as jnp
 ATARI_BASELINE_STEPS_PER_SEC = 3000.0  # reference examples/atari/README.md:22
 
 
+def _sync(tree) -> float:
+    """Force completion with a real device->host readback.
+
+    ``block_until_ready`` RETURNS IMMEDIATELY on the remote (axon) TPU
+    backend, so honest timing must round-trip a value. Fetches one scalar
+    (adds one tunnel RTT, amortized over the iters inside the scan)."""
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(np.asarray(leaf.ravel()[0]))
+
+
 def _timed_scan(megastep, carry, key, iters: int, steps_per_iter: int):
     """Run `iters` megasteps inside ONE jitted scan; return (steps/s, ms/megastep)."""
 
@@ -39,13 +51,13 @@ def _timed_scan(megastep, carry, key, iters: int, steps_per_iter: int):
         return carry
 
     carry = run(carry, key)  # compile + warmup
-    jax.block_until_ready(jax.tree.leaves(carry)[0])
+    _sync(carry)
     best = float("inf")
     for rep in range(3):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         carry = run(carry, k)
-        jax.block_until_ready(jax.tree.leaves(carry)[0])
+        _sync(carry)
         best = min(best, time.perf_counter() - t0)
     return iters * steps_per_iter / best, best / iters * 1e3
 

@@ -165,3 +165,148 @@ def test_gym_host_path_builder():
         .run("dqn_gym_cartpole")
     )
     assert result.best_reward >= 195
+
+
+# ---------------------------------------------------------------------------
+# round 2: typed Params + transformer chains, new builders, host on-policy,
+# resumable from_directory, ICM wrapping, PER via buffer factory
+# ---------------------------------------------------------------------------
+
+
+def _small_offp():
+    return OffPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=400, buffer_size=2000, num_train_envs=4,
+        num_test_envs=4, start_timesteps=100, test_step_num_episodes=2, batch_size=32,
+    )
+
+
+def test_typed_params_builders_smoke():
+    """Every typed Params dataclass resolves through its transformer chain
+    (reference algorithm_params.py:19-830) and builds a training run."""
+    from tianshou_tpu.highlevel.experiment import (
+        FQFExperimentBuilder,
+        QRDQNExperimentBuilder,
+        RainbowExperimentBuilder,
+    )
+    from tianshou_tpu.highlevel.params import (
+        DQNParams,
+        FQFParams,
+        LRSchedulerFactoryLinear,
+        PPOParams,
+        QRDQNParams,
+        RainbowParams,
+    )
+
+    cases = [
+        (DQNExperimentBuilder, DQNParams(lr=1e-3, eps_training=0.3, target_update_freq=100, n_step_return_horizon=3)),
+        (QRDQNExperimentBuilder, QRDQNParams(num_quantiles=32, eps_training=0.3)),
+        (FQFExperimentBuilder, FQFParams(num_fractions=16, eps_training=0.3)),
+        (RainbowExperimentBuilder, RainbowParams(num_atoms=21, v_min=0, v_max=200, eps_training=0.3)),
+    ]
+    for Builder, P in cases:
+        r = (
+            Builder(lambda: CartPole(), ExperimentConfig(seed=0, persistence_enabled=False), _small_offp())
+            .with_dqn_params(P)
+            .build()
+            .run("typed")
+        )
+        assert r.env_step > 0, Builder.__name__
+
+    otc = OnPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=256, num_train_envs=4, num_test_envs=4,
+        test_step_num_episodes=2, batch_size=64, collection_step_num_env_steps=32,
+    )
+    r = (
+        PPOExperimentBuilder(lambda: CartPole(), ExperimentConfig(seed=0, persistence_enabled=False), otc)
+        .with_params(PPOParams(lr=3e-4, lr_scheduler=LRSchedulerFactoryLinear(), max_grad_norm=0.5))
+        .build()
+        .run("typed_ppo")
+    )
+    assert r.env_step > 0
+
+
+def test_host_onpolicy_builder():
+    """Reference experiment.py host trainers cover on-policy too."""
+    from tianshou_tpu.highlevel.env import GymEnvFactory
+
+    otc = OnPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=256, num_train_envs=4, num_test_envs=2,
+        test_step_num_episodes=2, batch_size=64, collection_step_num_env_steps=32,
+    )
+    r = PPOExperimentBuilder(
+        GymEnvFactory("CartPole-v1"), ExperimentConfig(seed=0, persistence_enabled=False), otc
+    ).build().run("host_onpolicy")
+    assert r.env_step >= 256
+
+
+def test_from_directory_returns_runnable_experiment(tmp_path):
+    """from_directory rebuilds the whole experiment (reference
+    experiment.py:243-249), not a metadata dict."""
+    from tianshou_tpu.highlevel.experiment import Experiment
+
+    cfg = ExperimentConfig(seed=0, persistence_enabled=True, persistence_base_dir=str(tmp_path))
+    exp = (
+        DQNExperimentBuilder(lambda: CartPole(), cfg, _small_offp())
+        .with_dqn_params(eps_training=0.3)
+        .build()
+    )
+    exp.run("run1")
+    exp2 = Experiment.from_directory(str(tmp_path / "run1"))
+    assert isinstance(exp2, Experiment)
+    r2 = exp2.run("run2")
+    assert r2.env_step > 0
+
+
+def test_icm_and_per_through_builder():
+    from tianshou_tpu.data.buffer.prio import PrioritizedVectorReplayBuffer
+
+    r = (
+        DQNExperimentBuilder(lambda: CartPole(), ExperimentConfig(seed=0, persistence_enabled=False), _small_offp())
+        .with_dqn_params(eps_training=0.3)
+        .with_icm(feature_dim=16)
+        .build()
+        .run("icm")
+    )
+    assert r.env_step > 0
+    r = (
+        DQNExperimentBuilder(lambda: CartPole(), ExperimentConfig(seed=0, persistence_enabled=False), _small_offp())
+        .with_dqn_params(eps_training=0.3)
+        .with_buffer_factory(lambda n: PrioritizedVectorReplayBuffer(2000, n, alpha=0.6, beta=0.4))
+        .build()
+        .run("per")
+    )
+    assert r.env_step > 0
+
+
+def test_bdqn_and_gail_builders():
+    import numpy as np
+
+    from tianshou_tpu.env.classic.pendulum import Pendulum
+    from tianshou_tpu.env.wrappers import ContinuousToDiscrete
+    from tianshou_tpu.highlevel.experiment import BDQNExperimentBuilder, GAILExperimentBuilder
+
+    r = (
+        BDQNExperimentBuilder(
+            lambda: ContinuousToDiscrete(Pendulum(), 5),
+            ExperimentConfig(seed=0, persistence_enabled=False),
+            _small_offp(),
+        )
+        .with_dqn_params(eps_training=0.3, target_update_freq=100)
+        .build()
+        .run("bdqn")
+    )
+    assert r.env_step > 0
+
+    otc = OnPolicyTrainingConfig(
+        max_epochs=1, epoch_num_steps=256, num_train_envs=4, num_test_envs=4,
+        test_step_num_episodes=2, batch_size=64, collection_step_num_env_steps=32,
+    )
+    expert_obs = np.random.randn(256, 3).astype(np.float32)
+    expert_act = np.random.uniform(-1, 1, (256, 1)).astype(np.float32)
+    r = (
+        GAILExperimentBuilder(lambda: Pendulum(), ExperimentConfig(seed=0, persistence_enabled=False), otc)
+        .with_expert_data(expert_obs, expert_act)
+        .build()
+        .run("gail")
+    )
+    assert r.env_step > 0

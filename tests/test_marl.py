@@ -94,3 +94,67 @@ def test_marl_selfplay_beats_random():
     envs.close()
     eval_envs.close()
     assert wins >= 0.7, f"win rate {wins} (losses {losses})"
+
+
+class MaskedBoardActor(nn.Module):
+    """Policy logits with invalid moves masked to -inf."""
+
+    @nn.compact
+    def __call__(self, obs):
+        from tianshou_tpu.models.mlp import MLP
+
+        x = obs.obs.reshape(obs.obs.shape[0], -1)
+        logits = MLP((128, 128), 9)(x)
+        return jnp.where(obs.mask, logits, -1e9)
+
+
+class BoardCritic(nn.Module):
+    @nn.compact
+    def __call__(self, obs):
+        from tianshou_tpu.models.mlp import MLP
+
+        x = obs.obs.reshape(obs.obs.shape[0], -1)
+        return MLP((128, 128), 1)(x)
+
+
+def test_marl_onpolicy_selfplay_beats_random():
+    """PPO self-play through MultiAgentOnPolicyAlgorithm (reference
+    marl.py:311) must beat the mask-aware random baseline."""
+    from tianshou_tpu.algorithm.modelfree.ppo import PPO
+    from tianshou_tpu.algorithm.multiagent.marl import MultiAgentOnPolicyAlgorithm
+
+    def make_ppo():
+        return PPO(
+            actor=MaskedBoardActor(), critic=BoardCritic(), action_space=Discrete(9),
+            optim=AdamOptimizerFactory(lr=3e-4, max_grad_norm=0.5),
+            gamma=0.95, gae_lambda=0.95, ent_coef=0.01,
+            deterministic_eval=True, action_scaling=False,
+        )
+
+    envs = DummyVectorEnv([TicTacToeEnv for _ in range(8)])
+    marl = MultiAgentOnPolicyAlgorithm([make_ppo(), make_ppo()], action_space=Discrete(9))
+    key = jax.random.key(0)
+    key, k1 = jax.random.split(key)
+    ts = marl.init(k1, obs_example())
+
+    coll = HostCollector(envs, marl, None)
+    coll.reset(seed=0)
+    update_jit = jax.jit(lambda ts, r, k: marl.update_rollout(ts, r, k, repeat=4, batch_size=128))
+    for it in range(60):
+        key, kc, ku = jax.random.split(key, 3)
+        rollout, _ = coll.collect_rollout(ts, kc, 64)
+        ts, _ = update_jit(ts, rollout, ku)
+
+    eval_marl = MultiAgentOffPolicyAlgorithm(
+        [marl.algorithms[0], MARLRandomPolicy(Discrete(9))], action_space=Discrete(9)
+    )
+    eval_ts = {"agent0": ts["agent0"], "agent1": eval_marl.algorithms[1].init(key, obs_example())}
+    eval_envs = DummyVectorEnv([TicTacToeEnv for _ in range(8)])
+    eval_coll = HostCollector(eval_envs, eval_marl, None)
+    eval_coll.reset(seed=123)
+    key, ke = jax.random.split(key)
+    stats = eval_coll.collect(eval_ts, ke, n_episode=60, training=False)
+    wins = (stats.returns > 0).mean()
+    envs.close()
+    eval_envs.close()
+    assert wins >= 0.6, f"win rate {wins}"

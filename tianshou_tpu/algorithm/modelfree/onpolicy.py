@@ -105,15 +105,19 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         (algorithm_base.py:676-690).
         """
         T, E = rollout.rew.shape
-        obs_flat = rollout.obs.reshape((T * E,) + rollout.obs.shape[2:])
-        obs_next_flat = rollout.obs_next.reshape((T * E,) + rollout.obs_next.shape[2:])
+
+        def flat(x):  # merge the [T, E] leading axes (works for Batch obs too)
+            return jax.tree.map(lambda a: a.reshape((T * E,) + a.shape[2:]), x)
+
+        obs_flat = flat(rollout.obs)
+        obs_next_flat = flat(rollout.obs_next)
         term = rollout.terminated.astype(jnp.float32)
         trunc = rollout.truncated.astype(jnp.float32)
         end = jnp.maximum(term, trunc).at[-1].set(1.0)  # cut chain at boundary
 
         batch = Batch(
             obs=obs_flat,
-            act=rollout.act.reshape((T * E,) + rollout.act.shape[2:]),
+            act=flat(rollout.act),
             rew=rollout.rew.reshape(T * E),
         )
         if self.critic is not None:
@@ -171,6 +175,14 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         (reference OnPolicyAlgorithm.update + PPO._update_with_batch)."""
         k_proc, k_loop = jax.random.split(key)
         batch = self.process_rollout(ts, rollout, k_proc)
+        return self.run_minibatch_updates(ts, batch, k_loop, repeat, batch_size)
+
+    def run_minibatch_updates(
+        self, ts: TrainState, batch: Batch, k_loop: jax.Array, repeat: int, batch_size: int
+    ) -> tuple[TrainState, Batch]:
+        """The repeat x minibatch loop over an already-processed batch
+        (exposed so dispatchers like MARL can mask between processing and
+        updating)."""
         N = batch.rew.shape[0]
         n_mb = max(1, N // batch_size)
         mb_size = N // n_mb

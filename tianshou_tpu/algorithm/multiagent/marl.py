@@ -24,7 +24,7 @@ from tianshou_tpu.algorithm.base import ActOut, OffPolicyAlgorithm, TrainState
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.ops.returns import value_mask
 
-__all__ = ["MultiAgentOffPolicyAlgorithm", "MARLRandomPolicy"]
+__all__ = ["MultiAgentOffPolicyAlgorithm", "MultiAgentOnPolicyAlgorithm", "MARLRandomPolicy"]
 
 
 class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
@@ -83,6 +83,52 @@ class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
             ts = {**ts, f"agent{i}": sub_ts}
             stats[f"agent{i}"] = sub_stats
         return ts, buf_state, stats
+
+
+class MultiAgentOnPolicyAlgorithm:
+    """On-policy dispatcher (reference MultiAgentOnPolicyAlgorithm,
+    marl.py:311): each agent runs its own GAE + minibatch loop over the
+    SHARED rollout, with static shapes preserved by masking instead of
+    slicing — rewards come from the agent's reward column, and the
+    advantage is zeroed on steps where another agent acted, so actor
+    gradients flow only through the agent's own decisions while the critic
+    still learns values for every game state."""
+
+    def __init__(self, algorithms: list, action_space) -> None:
+        self.algorithms = algorithms
+        self.n_agents = len(algorithms)
+        self.action_space = action_space
+
+    def init(self, key: jax.Array, obs_example: Any) -> dict:
+        keys = jax.random.split(key, self.n_agents)
+        return {f"agent{i}": algo.init(k, obs_example) for i, (algo, k) in enumerate(zip(self.algorithms, keys))}
+
+    forward = MultiAgentOffPolicyAlgorithm.forward
+    exploration_noise = MultiAgentOffPolicyAlgorithm.exploration_noise
+
+    def map_action(self, act: jnp.ndarray) -> jnp.ndarray:
+        return act
+
+    def init_policy_state(self, num_envs: int):
+        return None
+
+    def update_rollout(self, ts: dict, rollout: Batch, key: jax.Array, repeat: int, batch_size: int):
+        keys = jax.random.split(key, self.n_agents)
+        stats = Batch()
+        for i, algo in enumerate(self.algorithms):
+            k_proc, k_loop = jax.random.split(keys[i])
+            r = rollout.copy()
+            r.rew = rollout.rew[..., i]  # per-agent reward column (marl.py:188)
+            batch = algo.process_rollout(ts[f"agent{i}"], r, k_proc)
+            is_mine = (rollout.obs.agent_id == i).reshape(batch.adv.shape).astype(jnp.float32)
+            batch.adv = batch.adv * is_mine
+            sub_ts, sub_stats = algo.run_minibatch_updates(
+                ts[f"agent{i}"], batch, k_loop, repeat, batch_size
+            )
+            ts = {**ts, f"agent{i}": sub_ts}
+            stats[f"agent{i}"] = sub_stats
+        stats.n_grad_steps = stats["agent0"].get("n_grad_steps", jnp.int32(1)) * self.n_agents
+        return ts, stats
 
 
 class MARLRandomPolicy(OffPolicyAlgorithm):

@@ -180,3 +180,56 @@ class HostCollector:
             returns=np.asarray(ep_returns),
             lens=np.asarray(ep_lens),
         )
+
+    # ------------------------------------------------------------------
+    def collect_rollout(
+        self, ts, key: jax.Array, n_step_per_env: int, training: bool = True
+    ) -> tuple[Batch, CollectStats]:
+        """Collect a time-major rollout ``[T, E, ...]`` for on-policy updates
+        (host analogue of the device collector's ``keep_rollout=True`` path).
+        Episode bookkeeping matches :meth:`collect`; the rollout stores raw
+        (pre map_action) actions and the true pre-reset ``obs_next``."""
+        if self._obs is None:
+            self.reset()
+        E = len(self.venv)
+        steps: list[Batch] = []
+        ep_returns: list[float] = []
+        ep_lens: list[int] = []
+        for _ in range(n_step_per_env):
+            key, k1 = jax.random.split(key)
+            obs_dev = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
+            raw, mapped = self._forward(ts, obs_dev, k1, training)
+            acts = np.asarray(mapped)
+            obs_next, rew, term, trunc, infos = self.venv.step(acts)
+            obs_next = self._to_obs(obs_next)
+            rew = np.asarray(rew, np.float32)
+            done = np.logical_or(term, trunc)
+            steps.append(
+                Batch(
+                    obs=self._obs, act=np.asarray(raw), rew=rew,
+                    terminated=np.asarray(term), truncated=np.asarray(trunc),
+                    obs_next=obs_next,
+                )
+            )
+            if self._ep_rew is None:
+                self._ep_rew = np.zeros(rew.shape)
+            self._ep_rew += rew
+            self._ep_len += 1
+            if done.any():
+                ids = np.where(done)[0]
+                for i in ids:
+                    ep_returns.append(float(self.return_reduction(self._ep_rew[i])))
+                    ep_lens.append(int(self._ep_len[i]))
+                    self._ep_rew[i] = 0.0
+                    self._ep_len[i] = 0
+                reset_obs, _ = self.venv.reset(id=ids.tolist())
+                obs_next[ids.tolist() if isinstance(obs_next, Batch) else ids] = self._to_obs(reset_obs)
+            self._obs = obs_next
+        rollout = Batch.stack(steps, axis=0).to_jax()
+        stats = CollectStats(
+            n_collected_steps=n_step_per_env * E,
+            n_collected_episodes=len(ep_returns),
+            returns=np.asarray(ep_returns),
+            lens=np.asarray(ep_lens),
+        )
+        return rollout, stats

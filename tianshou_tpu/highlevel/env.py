@@ -51,7 +51,16 @@ class GymEnvFactory:
 
         return gym.make(self.task, **self.env_kwargs)
 
-    def create_venv(self, num_envs: int):
+    def create_venv(self, num_envs: int, render_mode: str | None = None):
+        if render_mode is not None:
+            import functools
+
+            def make():
+                import gymnasium as gym
+
+                return gym.make(self.task, render_mode=render_mode, **self.env_kwargs)
+
+            return VectorEnvType.DUMMY.create_venv([make for _ in range(num_envs)])
         return self.venv_type.create_venv([self._make for _ in range(num_envs)])
 
     def spaces(self) -> tuple:

@@ -89,6 +89,7 @@ class Experiment:
     algo_factory: Callable[[Env], Any]
     logger_factory: Callable[[str], Any] | None = None
     offline_dataset: Any = None  # (buffer, buf_state) for offline builders
+    buffer_factory: Callable[[int], Any] | None = None  # PER/HER hook
 
     def run(self, run_name: str = "experiment") -> TrainResult:
         from tianshou_tpu.highlevel.env import GymEnvFactory
@@ -154,11 +155,14 @@ class Experiment:
             )
             result = OnPolicyTrainer(algo, tcol, ecol, params).run(ts, key)
         else:
-            buffer = VectorReplayBuffer(
-                total_size=tc.buffer_size,
-                buffer_num=tc.num_train_envs,
-                stack_num=tc.replay_buffer_stack_num,
-            )
+            if self.buffer_factory is not None:
+                buffer = self.buffer_factory(tc.num_train_envs)
+            else:
+                buffer = VectorReplayBuffer(
+                    total_size=tc.buffer_size,
+                    buffer_num=tc.num_train_envs,
+                    stack_num=tc.replay_buffer_stack_num,
+                )
             example = Batch(
                 obs=_obs_example(env),
                 act=jnp.int32(0) if isinstance(env.action_space, Discrete) else jnp.zeros(env.action_space.shape),
@@ -187,8 +191,7 @@ class Experiment:
             result = OffPolicyTrainer(algo, tcol, ecol, buffer, params).run(ts, buf_state, key)
 
         if cfg.persistence_enabled:
-            with open(os.path.join(persist_dir, "experiment.pkl"), "wb") as f:
-                pickle.dump({"config": cfg, "training": tc, "run_name": run_name}, f)
+            self.save(persist_dir)
         if cfg.watch:
             key, kw = jax.random.split(key)
             watch_col = DeviceCollector(test_envs, algo, None)
@@ -205,7 +208,6 @@ class Experiment:
         from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer
 
         cfg, tc = self.config, self.training
-        assert isinstance(tc, OffPolicyTrainingConfig), "host path supports off-policy configs"
         key = jax.random.key(cfg.seed)
         np.random.seed(cfg.seed)
         obs_space, act_space = self.env_factory.spaces()
@@ -213,6 +215,29 @@ class Experiment:
         algo = self.algo_factory(env_like)
         key, k_init = jax.random.split(key)
         ts = algo.init(k_init, jnp.zeros(obs_space.shape))
+
+        if isinstance(tc, OnPolicyTrainingConfig):
+            from tianshou_tpu.trainer.trainer import HostOnPolicyTrainer
+
+            tcol = HostCollector(self.env_factory.create_venv(tc.num_train_envs), algo)
+            ecol = HostCollector(self.env_factory.create_venv(tc.num_test_envs), algo)
+            logger = self.logger_factory(run_name) if self.logger_factory else LazyLogger()
+            stop_fn = (lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None
+            params = OnPolicyTrainerParams(
+                max_epochs=tc.max_epochs,
+                epoch_num_steps=tc.epoch_num_steps,
+                test_step_num_episodes=tc.test_step_num_episodes,
+                batch_size=tc.batch_size,
+                collection_step_num_env_steps=tc.collection_step_num_env_steps,
+                update_step_num_repetitions=tc.update_step_num_repetitions,
+                stop_fn=stop_fn,
+                logger=logger,
+                verbose=False,
+                seed=cfg.seed,
+            )
+            result = HostOnPolicyTrainer(algo, tcol, ecol, params).run(ts, key)
+            self._watch_host(algo, result, key)
+            return result
 
         buffer = VectorReplayBuffer(
             total_size=tc.buffer_size, buffer_num=tc.num_train_envs,
@@ -245,12 +270,43 @@ class Experiment:
             verbose=False,
             seed=cfg.seed,
         )
-        return HostOffPolicyTrainer(algo, tcol, ecol, buffer, params).run(ts, buf_state, key)
+        result = HostOffPolicyTrainer(algo, tcol, ecol, buffer, params).run(ts, buf_state, key)
+        self._watch_host(algo, result, key)
+        return result
+
+    def _watch_host(self, algo, result, key) -> None:
+        """Render the trained agent on one host env (reference
+        experiment.py:473 watch loop)."""
+        if not self.config.watch:
+            return
+        from tianshou_tpu.data.host_collector import HostCollector
+
+        venv = self.env_factory.create_venv(1, render_mode="human")
+        col = HostCollector(venv, algo)
+        key, k = jax.random.split(key)
+        stats = col.collect(result.train_state, k, n_episode=self.config.watch_num_episodes,
+                            training=False, reset_before_collect=True)
+        print(f"watch: mean return {stats.returns.mean():.2f} over {len(stats.returns)} episodes")
+        venv.close()
+
+    def save(self, path: str) -> None:
+        """Persist the full experiment definition (cloudpickle handles env
+        factories and builder closures) — reference experiment.py:207-219."""
+        import cloudpickle
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "experiment.pkl"), "wb") as f:
+            cloudpickle.dump(self, f)
 
     @staticmethod
-    def from_directory(path: str) -> dict:
+    def from_directory(path: str) -> "Experiment":
+        """Rebuild a RUNNABLE experiment from a persisted directory
+        (reference Experiment.from_directory experiment.py:243-249) —
+        ``from_directory(p).run(...)`` re-runs the same configuration."""
         with open(os.path.join(path, "experiment.pkl"), "rb") as f:
-            return pickle.load(f)
+            exp = pickle.load(f)
+        assert isinstance(exp, Experiment)
+        return exp
 
 
 class ExperimentBuilder:
@@ -272,8 +328,65 @@ class ExperimentBuilder:
         self._optim_factory = factory
         return self
 
+    def _set_params(self, params=None, **kwargs):
+        """Accept a typed Params dataclass (reference algorithm_params.py)
+        or plain kwargs."""
+        from tianshou_tpu.highlevel.params import Params
+
+        if params is not None:
+            assert isinstance(params, Params), params
+            self._params = params
+        else:
+            self._params.update(kwargs)
+        return self
+
+    def _resolve(self, env: Env) -> dict:
+        """Resolve user params into low-level constructor kwargs, running
+        the ParamTransformer chain for typed Params (reference
+        algorithm_params.py:19-830)."""
+        from tianshou_tpu.highlevel.params import Params, ParamTransformerData
+
+        if isinstance(self._params, Params):
+            return self._params.create_kwargs(
+                ParamTransformerData(env=env, optim_factory_default=self._optim_factory,
+                                     training=self._training)
+            )
+        return dict(self._params)
+
     def _make_algo(self, env: Env):
         raise NotImplementedError
+
+    def with_icm(self, feature_dim: int = 32, hidden_sizes=(64,), lr_scale: float = 1.0,
+                 reward_scale: float = 0.01, forward_loss_weight: float = 0.2) -> "ExperimentBuilder":
+        """Wrap the built algorithm in an ICM intrinsic-curiosity wrapper
+        (reference modelbased/icm.py ICMOff/OnPolicyWrapper)."""
+        self._icm = dict(feature_dim=feature_dim, hidden_sizes=tuple(hidden_sizes),
+                         lr_scale=lr_scale, reward_scale=reward_scale,
+                         forward_loss_weight=forward_loss_weight)
+        return self
+
+    def _maybe_wrap_icm(self, algo, env: Env, on_policy: bool):
+        icm = getattr(self, "_icm", None)
+        if icm is None:
+            return algo
+        from tianshou_tpu.algorithm.modelbased.icm import ICMOffPolicyWrapper, ICMOnPolicyWrapper
+        from tianshou_tpu.models.discrete import IntrinsicCuriosityModule
+
+        n_actions = env.action_space.n if isinstance(env.action_space, Discrete) else int(np.prod(env.action_space.shape))
+        model = IntrinsicCuriosityModule(
+            feature_hidden=(icm["feature_dim"],), hidden_sizes=icm["hidden_sizes"], action_dim=n_actions,
+        )
+        wrapper = ICMOnPolicyWrapper if on_policy else ICMOffPolicyWrapper
+        return wrapper(algo, model, lr_scale=icm["lr_scale"], reward_scale=icm["reward_scale"],
+                       forward_loss_weight=icm["forward_loss_weight"])
+
+    def with_buffer_factory(self, factory) -> "ExperimentBuilder":
+        """Custom replay buffer: ``factory(num_envs) -> buffer`` — the hook
+        for PER (PrioritizedVectorReplayBuffer) and HER (HERReplayBuffer),
+        mirroring the reference's replay_buffer config knobs
+        (highlevel/config.py TrainingConfig)."""
+        self._buffer_factory = factory
+        return self
 
     def build(self) -> Experiment:
         return Experiment(
@@ -282,6 +395,7 @@ class ExperimentBuilder:
             env_factory=self._env_factory,
             algo_factory=self._make_algo,
             logger_factory=self._logger_factory,
+            buffer_factory=getattr(self, "_buffer_factory", None),
         )
 
 
@@ -295,19 +409,20 @@ class DQNExperimentBuilder(ExperimentBuilder):
         self._model_factory = f
         return self
 
-    def with_dqn_params(self, **kwargs) -> "DQNExperimentBuilder":
-        self._params.update(kwargs)
-        return self
+    def with_dqn_params(self, params=None, **kwargs) -> "DQNExperimentBuilder":
+        return self._set_params(params, **kwargs)
 
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.dqn import DQN
 
-        return DQN(
+        kw = self._resolve(env)
+        kw.setdefault("optim", self._optim_factory(lr=kw.pop("lr", self._lr)))
+        algo = DQN(
             model=self._model_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=self._optim_factory(lr=self._params.pop("lr", self._lr)) if callable(self._optim_factory) else self._optim_factory,
-            **self._params,
+            **kw,
         )
+        return self._maybe_wrap_icm(algo, env, on_policy=False)
 
 
 class _ActorCriticBuilder(ExperimentBuilder):
@@ -325,49 +440,53 @@ class _ActorCriticBuilder(ExperimentBuilder):
         self._critic_factory = f
         return self
 
-    def with_params(self, **kwargs):
-        self._params.update(kwargs)
-        return self
+    def with_params(self, params=None, **kwargs):
+        return self._set_params(params, **kwargs)
+
+    def _ac_kwargs(self, env: Env, default_lr: float) -> dict:
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", default_lr), max_grad_norm=kw.pop("max_grad_norm", 0.5)))
+        kw.setdefault("deterministic_eval", True)
+        return kw
 
 
 class PPOExperimentBuilder(_ActorCriticBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.ppo import PPO
 
-        return PPO(
+        algo = PPO(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", self._lr), max_grad_norm=0.5),
-            deterministic_eval=True,
-            **self._params,
+            **self._ac_kwargs(env, self._lr),
         )
+        return self._maybe_wrap_icm(algo, env, on_policy=True)
 
 
 class A2CExperimentBuilder(_ActorCriticBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.a2c import A2C
 
-        return A2C(
+        algo = A2C(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 7e-4), max_grad_norm=0.5),
-            deterministic_eval=True,
-            **self._params,
+            **self._ac_kwargs(env, 7e-4),
         )
+        return self._maybe_wrap_icm(algo, env, on_policy=True)
 
 
 class ReinforceExperimentBuilder(_ActorCriticBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.reinforce import Reinforce
 
+        kw = self._ac_kwargs(env, 1e-3)
+        for drop in ("gae_lambda", "vf_coef", "ent_coef", "advantage_normalization"):
+            kw.pop(drop, None)
         return Reinforce(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
-            deterministic_eval=True,
-            **self._params,
+            **kw,
         )
 
 
@@ -385,9 +504,14 @@ class _ContinuousOffPolicyBuilder(ExperimentBuilder):
         self._critic_factory = f
         return self
 
-    def with_params(self, **kwargs):
-        self._params.update(kwargs)
-        return self
+    def with_params(self, params=None, **kwargs):
+        return self._set_params(params, **kwargs)
+
+    def _offp_kwargs(self, env: Env, default_lr: float) -> dict:
+        kw = self._resolve(env)
+        kw.setdefault("policy_optim", AdamOptimizerFactory(lr=kw.pop("actor_lr", default_lr)))
+        kw.setdefault("critic_optim", AdamOptimizerFactory(lr=kw.pop("critic_lr", default_lr)))
+        return kw
 
 
 class SACExperimentBuilder(_ContinuousOffPolicyBuilder):
@@ -399,9 +523,7 @@ class SACExperimentBuilder(_ContinuousOffPolicyBuilder):
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
-            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
-            **self._params,
+            **self._offp_kwargs(env, 3e-4),
         )
 
 
@@ -414,9 +536,7 @@ class TD3ExperimentBuilder(_ContinuousOffPolicyBuilder):
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
-            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
-            **self._params,
+            **self._offp_kwargs(env, 3e-4),
         )
 
 
@@ -429,9 +549,7 @@ class DDPGExperimentBuilder(_ContinuousOffPolicyBuilder):
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 1e-3)),
-            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 1e-3)),
-            **self._params,
+            **self._offp_kwargs(env, 1e-3),
         )
 
 
@@ -441,15 +559,14 @@ class REDQExperimentBuilder(_ContinuousOffPolicyBuilder):
         from tianshou_tpu.models.continuous import EnsembleCritic
 
         self._actor_factory.conditioned_sigma = True
-        ensemble = self._params.pop("ensemble_size", 10)
+        kw = self._offp_kwargs(env, 3e-4)
+        ensemble = kw.pop("ensemble_size", 10)
         return REDQ(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=EnsembleCritic(ensemble_size=ensemble, hidden_sizes=tuple(self._critic_factory.hidden_sizes)),
             action_space=env.action_space,
-            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 3e-4)),
-            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 3e-4)),
             ensemble_size=ensemble,
-            **self._params,
+            **kw,
         )
 
 
@@ -457,13 +574,15 @@ class NPGExperimentBuilder(_ActorCriticBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.npg import NPG
 
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        kw.pop("max_grad_norm", None)
+        kw.setdefault("deterministic_eval", True)
         return NPG(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
-            deterministic_eval=True,
-            **self._params,
+            **kw,
         )
 
 
@@ -471,13 +590,15 @@ class TRPOExperimentBuilder(_ActorCriticBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.trpo import TRPO
 
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        kw.pop("max_grad_norm", None)
+        kw.setdefault("deterministic_eval", True)
         return TRPO(
             actor=self._actor_factory.create(env.observation_space, env.action_space),
             critic=self._critic_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
-            deterministic_eval=True,
-            **self._params,
+            **kw,
         )
 
 
@@ -489,15 +610,16 @@ class C51ExperimentBuilder(DQNExperimentBuilder):
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.c51 import C51
 
-        num_atoms = self._params.pop("num_atoms", self._model_factory.num_atoms)
+        kw = self._resolve(env)
+        num_atoms = kw.pop("num_atoms", self._model_factory.num_atoms)
         self._model_factory.num_atoms = num_atoms
         self._model_factory.softmax = True
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
         return C51(
             model=self._model_factory.create(env.observation_space, env.action_space),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
             num_atoms=num_atoms,
-            **self._params,
+            **kw,
         )
 
 
@@ -506,14 +628,15 @@ class IQNExperimentBuilder(DQNExperimentBuilder):
         from tianshou_tpu.algorithm.modelfree.iqn import IQN
         from tianshou_tpu.models.discrete import ImplicitQuantileNetwork
 
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
         return IQN(
             model=ImplicitQuantileNetwork(
                 hidden_sizes=tuple(self._model_factory.hidden_sizes),
                 action_dim=env.action_space.n,
             ),
             action_space=env.action_space,
-            optim=AdamOptimizerFactory(lr=self._params.pop("lr", 1e-3)),
-            **self._params,
+            **kw,
         )
 
 
@@ -595,20 +718,127 @@ class DiscreteSACExperimentBuilder(ExperimentBuilder):
         super().__init__(env_factory, config, training or OffPolicyTrainingConfig())
         self._hidden = (64, 64)
 
-    def with_params(self, **kwargs):
-        self._params.update(kwargs)
-        return self
+    def with_params(self, params=None, **kwargs):
+        return self._set_params(params, **kwargs)
 
     def _make_algo(self, env: Env):
         from tianshou_tpu.algorithm.modelfree.discrete_sac import DiscreteSAC
         from tianshou_tpu.models.discrete import DiscreteActor, DiscreteCritic
 
+        kw = self._resolve(env)
+        kw.setdefault("policy_optim", AdamOptimizerFactory(lr=kw.pop("actor_lr", 5e-4)))
+        kw.setdefault("critic_optim", AdamOptimizerFactory(lr=kw.pop("critic_lr", 5e-4)))
         n = env.action_space.n
         return DiscreteSAC(
             actor=DiscreteActor(hidden_sizes=self._hidden, action_dim=n),
             critic=DiscreteCritic(hidden_sizes=self._hidden, last_size=n),
             action_space=env.action_space,
-            policy_optim=AdamOptimizerFactory(lr=self._params.pop("actor_lr", 5e-4)),
-            critic_optim=AdamOptimizerFactory(lr=self._params.pop("critic_lr", 5e-4)),
-            **self._params,
+            **kw,
+        )
+
+
+class QRDQNExperimentBuilder(DQNExperimentBuilder):
+    """Reference mixins experiment.py:1105-1500 (QRDQN)."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.qrdqn import QRDQN
+
+        kw = self._resolve(env)
+        num_quantiles = kw.pop("num_quantiles", 200)
+        self._model_factory.num_atoms = num_quantiles
+        self._model_factory.softmax = False
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        kw.pop("is_double", None)
+        return QRDQN(
+            model=self._model_factory.create(env.observation_space, env.action_space),
+            action_space=env.action_space,
+            num_quantiles=num_quantiles,
+            **kw,
+        )
+
+
+class FQFExperimentBuilder(DQNExperimentBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.fqf import FQF
+        from tianshou_tpu.models.discrete import FullQuantileFunction
+
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        kw.pop("is_double", None)
+        return FQF(
+            model=FullQuantileFunction(
+                hidden_sizes=tuple(self._model_factory.hidden_sizes),
+                action_dim=env.action_space.n,
+            ),
+            action_space=env.action_space,
+            **kw,
+        )
+
+
+class RainbowExperimentBuilder(DQNExperimentBuilder):
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.c51 import RainbowDQN
+        from tianshou_tpu.models.discrete import RainbowNet
+
+        kw = self._resolve(env)
+        num_atoms = kw.pop("num_atoms", 51)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        kw.pop("is_double", None)
+        return RainbowDQN(
+            model=RainbowNet(
+                hidden_sizes=tuple(self._model_factory.hidden_sizes),
+                action_dim=env.action_space.n,
+                num_atoms=num_atoms,
+            ),
+            action_space=env.action_space,
+            num_atoms=num_atoms,
+            **kw,
+        )
+
+
+class BDQNExperimentBuilder(DQNExperimentBuilder):
+    """Branching dueling Q for MultiDiscrete action spaces."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.modelfree.bdqn import BDQN
+        from tianshou_tpu.models.mlp import BranchingNet
+
+        kw = self._resolve(env)
+        kw.setdefault("optim", AdamOptimizerFactory(lr=kw.pop("lr", 1e-3)))
+        space = env.action_space
+        num_branches = space.shape[0]
+        action_per_branch = int(space.nvec[0])
+        return BDQN(
+            model=BranchingNet(
+                hidden_sizes=tuple(self._model_factory.hidden_sizes),
+                num_branches=num_branches,
+                action_per_branch=action_per_branch,
+            ),
+            action_space=space,
+            **kw,
+        )
+
+
+class GAILExperimentBuilder(_ActorCriticBuilder):
+    """GAIL = PPO + discriminator over (obs, act) with expert data
+    (reference imitation/gail.py:31)."""
+
+    def with_expert_data(self, expert_obs, expert_act) -> "GAILExperimentBuilder":
+        self._expert = (expert_obs, expert_act)
+        return self
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.gail import GAIL
+        from tianshou_tpu.models.continuous import ContinuousCritic
+
+        assert getattr(self, "_expert", None) is not None, "call with_expert_data first"
+        kw = self._ac_kwargs(env, 3e-4)
+        return GAIL(
+            actor=self._actor_factory.create(env.observation_space, env.action_space),
+            critic=self._critic_factory.create(env.observation_space, env.action_space),
+            action_space=env.action_space,
+            disc_net=ContinuousCritic(hidden_sizes=(64, 64)),
+            expert_obs=self._expert[0],
+            expert_act=self._expert[1],
+            **kw,
         )

@@ -36,6 +36,7 @@ __all__ = [
     "OnPolicyTrainer",
     "OfflineTrainer",
     "HostOffPolicyTrainer",
+    "HostOnPolicyTrainer",
     "TrainResult",
 ]
 
@@ -579,6 +580,82 @@ class OfflineTrainer(_TrainerBase):
             timing={},
             train_state=ts,
             buf_state=buf_state,
+        )
+
+
+class HostOnPolicyTrainer(_TrainerBase):
+    """On-policy trainer over the HOST collector (Gymnasium envs): rollouts
+    come from :meth:`HostCollector.collect_rollout`, updates stay jitted on
+    the accelerator (reference OnPolicyTrainer :1098 applied to the host
+    env path)."""
+
+    def __init__(self, algo, train_collector, test_collector, params: OnPolicyTrainerParams) -> None:
+        super().__init__(algo, params)
+        self.train_collector = train_collector
+        self.test_collector = test_collector
+        self._update_jit = None
+
+    def run(self, ts, key) -> TrainResult:
+        p: OnPolicyTrainerParams = self.params
+        t0 = time.time()
+        tc = self.train_collector
+        if tc._obs is None:
+            tc.reset(seed=p.seed)
+        E = len(tc.venv)
+        T = p.collection_step_num_env_steps
+        self._ts = ts
+        algo = self.algo
+        if self._update_jit is None:
+            self._update_jit = jax.jit(
+                lambda ts, rollout, key: algo.update_rollout(
+                    ts, rollout, key, repeat=p.update_step_num_repetitions, batch_size=p.batch_size
+                ),
+                donate_argnums=(0,),
+            )
+        stop = False
+        epoch = self.start_epoch
+        for epoch in range(self.start_epoch + 1, p.max_epochs + 1):
+            self._epoch = epoch
+            steps_this_epoch = 0
+            while steps_this_epoch < p.epoch_num_steps:
+                if p.train_fn is not None:
+                    ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
+                key, k = _split_host(key)
+                rollout, stats = tc.collect_rollout(ts, k, T)
+                self._validate_collect(rollout)
+                self.env_step += stats.n_collected_steps
+                steps_this_epoch += stats.n_collected_steps
+                if p.logger is not None and stats.n_collected_episodes:
+                    p.logger.log_train_data(
+                        {"train/reward": float(stats.returns.mean())}, self.env_step
+                    )
+                key, k = _split_host(key)
+                ts, upd_stats = self._update_jit(ts, rollout, k)
+                self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
+                self._ts = ts
+                self._log_update(upd_stats)
+            key, k = _split_host(key)
+            ts_test = self._apply_hparams(ts, p.test_fn(epoch, self.env_step)) if p.test_fn else ts
+            test_stats = self.test_collector.collect(
+                ts_test, k, n_episode=p.test_step_num_episodes, training=False,
+                reset_before_collect=True,
+            )
+            stop = self._log_test(test_stats, epoch)
+            self._log_info(epoch, t0, {})
+            self._save_counters(epoch)
+            if p.save_checkpoint_fn is not None:
+                p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
+            if stop:
+                break
+        return TrainResult(
+            best_score=self.best_score,
+            best_reward=self.best_reward,
+            env_step=self.env_step,
+            gradient_step=self.gradient_step,
+            epochs=epoch,
+            train_time=time.time() - t0,
+            timing={},
+            train_state=ts,
         )
 
 
