@@ -50,8 +50,8 @@ def test_dqn_builder_trains_to_threshold(tmp_path):
     # persistence side effects
     assert os.path.exists(tmp_path / "dqn_cartpole" / "experiment.pkl")
     assert os.path.isdir(tmp_path / "dqn_cartpole" / "best")
-    meta = Experiment.from_directory(str(tmp_path / "dqn_cartpole"))
-    assert meta["run_name"] == "dqn_cartpole"
+    exp2 = Experiment.from_directory(str(tmp_path / "dqn_cartpole"))
+    assert isinstance(exp2, Experiment)  # runnable, not a metadata dict
 
 
 def test_ppo_builder_trains(tmp_path):
