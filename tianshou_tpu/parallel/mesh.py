@@ -20,7 +20,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "make_mesh_2d", "replicate", "shard_leading", "shard_params_tp", "make_dp_train_step"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "replicate",
+    "shard_leading",
+    "shard_params_tp",
+    "make_dp_train_step",
+    "make_dp_offpolicy_train_step",
+]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
@@ -116,5 +124,58 @@ def make_dp_train_step(
             return collector._step_fn(ts, carry, k, training=True, store=False, keep_rollout=True)
 
         return jax.lax.scan(body, (cstate, None), keys)
+
+    return jax.jit(step)
+
+
+def make_dp_offpolicy_train_step(
+    algo, collector, buffer, mesh: Mesh, n_steps: int, n_updates: int, batch_size: int,
+    axis_name: str = "dp",
+):
+    """One data-parallel OFF-policy megastep: collect into a SHARDED replay
+    buffer, then a burst of gradient steps — the mesh analogue of
+    ``OffPolicyTrainer._build_megastep``.
+
+    The ring storage ``[E, C, ...]`` and the per-env cursors ``[E]`` are
+    sharded on their leading env axis over ``axis_name``; the train state is
+    replicated. The big arrays (buffer storage, env state) never move:
+    writes during the collect scan are shard-local, and only the sampled
+    minibatch (tiny) crosses shards — XLA inserts those gathers plus the
+    gradient psum during partitioning. This is the replacement for the
+    reference's replay-on-host + ``nn.DataParallel`` split
+    (net/common.py:473) with a single SPMD program.
+    """
+
+    def _constrain_buf(buf_state):
+        # every BufferState leaf (data [E,C,...], cursor/size/last_idx [E])
+        # carries the env axis in front
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis_name)))
+            if hasattr(x, "ndim") and x.ndim >= 1
+            else x,
+            buf_state,
+        )
+
+    def step(ts, cstate, buf_state, key):
+        cstate = _constrain_leading(cstate, mesh, axis_name)
+        buf_state = _constrain_buf(buf_state)
+        k_c, k_u = jax.random.split(key)
+        keys = jax.random.split(k_c, n_steps)
+
+        def c_body(carry, k):
+            return collector._step_fn(ts, carry, k, training=True, store=True, keep_rollout=False)
+
+        (cstate, buf_state), out = jax.lax.scan(c_body, (cstate, buf_state), keys)
+        buf_state = _constrain_buf(buf_state)
+
+        def u_body(carry, k):
+            ts, buf_state = carry
+            ts, buf_state, stats = algo.update(ts, buffer, buf_state, k, batch_size)
+            return (ts, buf_state), stats
+
+        (ts, buf_state), ustats = jax.lax.scan(
+            u_body, (ts, buf_state), jax.random.split(k_u, n_updates)
+        )
+        return ts, cstate, buf_state, out, ustats
 
     return jax.jit(step)
