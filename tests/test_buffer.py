@@ -261,3 +261,159 @@ def test_host_offpolicy_trainer():
     )
     res = HostOffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, bs, key)
     assert res.best_reward >= 195, f"best_reward {res.best_reward}"
+
+
+# ---------------------------------------------------------------------------
+# round-2 depth: cross-edge episode fetch, merge, wraparound stacking, PER
+# statistics, dict-obs rings (reference test_buffer.py:1564 and neighbors)
+# ---------------------------------------------------------------------------
+
+
+def test_get_buffer_indices_within_ring():
+    buf = ReplayBuffer(size=8)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(i, i == 4) for i in range(6)])
+    np.testing.assert_array_equal(buf.get_buffer_indices(state, 1, 5), [1, 2, 3, 4])
+
+
+def test_get_buffer_indices_cross_edge():
+    """Episode spanning the ring edge (reference test_buffer.py:1564)."""
+    buf = ReplayBuffer(size=5)
+    state = buf.init(example())
+    # 8 adds on capacity 5: slots hold obs [5,6,7,3,4], cursor=3, oldest=3
+    state, _ = fill(buf, state, [(i, False) for i in range(8)])
+    # episode starting at slot 3 (obs 3) and running through the edge to slot 2
+    idx = buf.get_buffer_indices(state, 3, 2)
+    np.testing.assert_array_equal(idx, [3, 4, 0, 1])
+    np.testing.assert_array_equal(np.asarray(state.data.obs[0])[idx % 5], [3, 4, 5, 6])
+    # full-ring span: start == stop after wrap is invalid, but a length-5
+    # wrap (start -> start) via explicit different flat index is exercised
+    # through chronological_indices
+    np.testing.assert_array_equal(buf.chronological_indices(state, 0), [3, 4, 0, 1, 2])
+
+
+def test_get_buffer_indices_validation():
+    import pytest
+
+    buf = ReplayBuffer(size=8, num_envs=2)
+    state = buf.init(example())
+    b = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2), tr(0, 0, 0, False, False, 1))
+    state, _ = buf.add(state, b)
+    with pytest.raises(ValueError):  # spans two env rings
+        buf.get_buffer_indices(state, 2, 6)
+    with pytest.raises(ValueError):  # empty span
+        buf.get_buffer_indices(state, 0, 0)
+    with pytest.raises(ValueError):  # touches unwritten slots
+        buf.get_buffer_indices(state, 0, 3)
+
+
+def test_update_merge():
+    """Merge a source buffer into a single-ring destination
+    (reference buffer_base.py:336 ReplayBuffer.update)."""
+    src = ReplayBuffer(size=4)
+    sstate = src.init(example())
+    sstate, _ = fill(src, sstate, [(i, i == 2) for i in range(6)])  # ring keeps obs [4,5,2,3]->chrono [2,3,4,5]
+    dst = ReplayBuffer(size=16)
+    dstate = dst.init(example())
+    dstate, _ = fill(dst, dstate, [(100, False)])
+    dstate = dst.update(dstate, src, sstate)
+    assert int(dstate.size[0]) == 5
+    np.testing.assert_array_equal(np.asarray(dstate.data.obs[0])[:5], [100, 2, 3, 4, 5])
+    # done flags travel with the rows (obs 2 ended its episode)
+    assert bool(dstate.data.done[0, 1])
+
+    import pytest
+
+    vec = ReplayBuffer(size=16, num_envs=2)
+    with pytest.raises(NotImplementedError):
+        vec.update(vec.init(example()), src, sstate)
+
+
+def test_frame_stack_at_ring_wraparound():
+    """stack_num history must walk prev() correctly across the ring edge."""
+    buf = ReplayBuffer(size=5, stack_num=3)
+    state = buf.init(example())
+    # one long episode, 8 steps on capacity 5: slots [5,6,7,3,4], oldest=slot 3
+    state, _ = fill(buf, state, [(i, False) for i in range(8)])
+    # sample the newest entry (obs 7, slot 2): stack = [5, 6, 7]
+    got = buf.get(state, jnp.asarray([2]))
+    np.testing.assert_array_equal(np.asarray(got.obs[0]), [5, 6, 7])
+    # the OLDEST retained entry (obs 3, slot 3): prev clamps -> [3, 3, 3]
+    got = buf.get(state, jnp.asarray([3]))
+    np.testing.assert_array_equal(np.asarray(got.obs[0]), [3, 3, 3])
+    # one step newer (obs 4, slot 4): [3, 3, 4]
+    got = buf.get(state, jnp.asarray([4]))
+    np.testing.assert_array_equal(np.asarray(got.obs[0]), [3, 3, 4])
+
+
+def test_prev_next_partial_ring():
+    """prev/next with size < capacity must clamp at the true data edge,
+    not the capacity edge (reference manager.py numba kernels)."""
+    buf = ReplayBuffer(size=8)
+    state = buf.init(example())
+    state, _ = fill(buf, state, [(0, False), (1, False), (2, False)])
+    # prev at oldest stays; next at newest stays
+    assert int(buf.prev(state, jnp.asarray(0))) == 0
+    assert int(buf.next(state, jnp.asarray(2))) == 2
+    # next never walks into unwritten slots 3..7
+    assert int(buf.next(state, jnp.asarray(1))) == 2
+
+
+def test_dict_obs_ring_roundtrip():
+    """Dict (pytree) observations flow through add -> sample -> get."""
+    ex = Batch(
+        obs=Batch(pos=jnp.zeros(2), vel=jnp.zeros(3)),
+        act=jnp.int32(0),
+        rew=jnp.float32(0),
+        terminated=jnp.bool_(False),
+        truncated=jnp.bool_(False),
+        obs_next=Batch(pos=jnp.zeros(2), vel=jnp.zeros(3)),
+    )
+    buf = ReplayBuffer(size=8)
+    state = buf.init(ex)
+    for i in range(5):
+        t = Batch(
+            obs=Batch(pos=jnp.full((1, 2), i, jnp.float32), vel=jnp.full((1, 3), i * 10, jnp.float32)),
+            act=jnp.asarray([i]),
+            rew=jnp.asarray([float(i)]),
+            terminated=jnp.asarray([False]),
+            truncated=jnp.asarray([False]),
+            obs_next=Batch(pos=jnp.full((1, 2), i + 1, jnp.float32), vel=jnp.full((1, 3), (i + 1) * 10, jnp.float32)),
+        )
+        state, _ = buf.add(state, t)
+    got = buf.get(state, jnp.asarray([0, 3]))
+    np.testing.assert_array_equal(np.asarray(got.obs.pos), [[0, 0], [3, 3]])
+    np.testing.assert_array_equal(np.asarray(got.obs_next.vel), [[10, 10, 10], [40, 40, 40]])
+    batch, idx = buf.sample(state, jax.random.key(0), 16)
+    assert batch.obs.pos.shape == (16, 2) and batch.obs_next.vel.shape == (16, 3)
+    assert int(idx.max()) < 5
+
+
+def test_per_weight_convergence(rng):
+    """PER sampling frequency tracks priorities (reference
+    test_buffer.py PER statistics): entries with 4x priority are drawn
+    ~4x as often, and IS weights compensate."""
+    buf = PrioritizedReplayBuffer(size=64, alpha=1.0, beta=1.0)
+    state = buf.init(example())
+    for i in range(64):
+        t = tr(i, 0, 0.0, False, False, i + 1)
+        state, info = buf.add(state, jax.tree.map(lambda x: jnp.asarray(x)[None], t))
+    # raise priority of the first 16 entries to ~4.0, rest stay 1.0
+    hi = jnp.arange(16)
+    state = buf.update_weight(state, hi, jnp.full(16, 4.0) - buf.eps)
+    keys = jax.random.split(jax.random.key(1), 40)
+    counts = np.zeros(64)
+    ws = []
+    for k in keys:
+        batch, idx = buf.sample(state, k, 128)
+        np.add.at(counts, np.asarray(idx), 1)
+        ws.append((np.asarray(idx), np.asarray(batch.weight)))
+    hi_rate = counts[:16].mean()
+    lo_rate = counts[16:].mean()
+    assert 3.0 < hi_rate / lo_rate < 5.3, (hi_rate, lo_rate)
+    # IS weights: max-normalized, high-priority entries get ~1/4 the weight
+    idx, w = ws[0]
+    hi_w = w[idx < 16]
+    lo_w = w[idx >= 16]
+    if len(hi_w) and len(lo_w):
+        np.testing.assert_allclose(hi_w.mean() / lo_w.mean(), 0.25, rtol=0.05)

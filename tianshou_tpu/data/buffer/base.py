@@ -308,6 +308,79 @@ class ReplayBuffer:
         return jnp.stack(rews), jnp.stack(ends).astype(jnp.float32), idx
 
     # ------------------------------------------------------------------
+    # host-level episode/merge utilities (reference buffer_base.py:171,336)
+    # ------------------------------------------------------------------
+    def get_buffer_indices(self, state: BufferState, start: int, stop: int) -> np.ndarray:
+        """Flat indices of the transitions from ``start`` (inclusive) to
+        ``stop`` (exclusive) within one env ring, in chronological order.
+
+        The span may wrap the ring edge (``stop``'s slot numerically below
+        ``start``'s), exactly like the reference's cross-edge episode fetch
+        (buffer_base.py:171-250). Host-level: validates the span and raises
+        on malformed input rather than clamping.
+        """
+        C = self.capacity
+        env_s, slot_s = divmod(int(start), C)
+        env_e, slot_e = divmod(int(stop), C)
+        if env_s != env_e:
+            raise ValueError(
+                f"start={start} and stop={stop} lie in different env rings "
+                f"({env_s} vs {env_e}); episodes never span envs"
+            )
+        if not 0 <= env_s < self.num_envs:
+            raise ValueError(f"env {env_s} out of range [0, {self.num_envs})")
+        length = (slot_e - slot_s) % C
+        if length == 0 and start != stop:
+            length = C  # full-ring episode
+        if length == 0:
+            raise ValueError(f"empty span: start == stop == {start}")
+        size = int(state.size[env_s])
+        if length > size:
+            raise ValueError(
+                f"span of length {length} exceeds the {size} stored entries "
+                f"of env ring {env_s}"
+            )
+        slots = (slot_s + np.arange(length)) % C
+        if size < C and (slots >= size).any():
+            raise ValueError(
+                f"span {start}:{stop} touches unwritten slots of env ring {env_s}"
+            )
+        return env_s * C + slots
+
+    def chronological_indices(self, state: BufferState, env: int) -> np.ndarray:
+        """Flat indices of env ring ``env``, oldest -> newest (host-level)."""
+        size = int(state.size[env])
+        full = size >= self.capacity
+        oldest = int(state.cursor[env]) % self.capacity if full else 0
+        slots = (oldest + np.arange(size)) % self.capacity
+        return env * self.capacity + slots
+
+    def update(self, state: BufferState, src: "ReplayBuffer", src_state: BufferState) -> BufferState:
+        """Merge every stored transition of ``src`` (oldest -> newest, env by
+        env) into this buffer — reference ``ReplayBuffer.update``
+        (buffer_base.py:336). Like the reference (manager.py raises
+        NotImplementedError), only a single-ring destination supports merge.
+        Host-level utility: not for use inside jit.
+        """
+        if self.num_envs != 1:
+            raise NotImplementedError(
+                "update() merges into a single-ring ReplayBuffer only "
+                "(reference ReplayBufferManager.update raises likewise)"
+            )
+        for env in range(src.num_envs):
+            flat = src.chronological_indices(src_state, env)
+            if len(flat) == 0:
+                continue
+            rows = src.get(src_state, jnp.asarray(flat), stack_num=1)
+            # replay the rows through add() one at a time (ring semantics)
+            def body(st, tr):
+                st, _ = self.add(st, jax.tree.map(lambda a: a[None], tr))
+                return st, None
+
+            state, _ = jax.lax.scan(body, state, rows)
+        return state
+
+    # ------------------------------------------------------------------
     def num_stored(self, state: BufferState) -> jnp.ndarray:
         return state.size.sum()
 
