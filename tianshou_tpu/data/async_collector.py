@@ -53,9 +53,10 @@ class AsyncHostCollector(HostCollector):
         ep_returns: list[float] = []
         ep_lens: list[int] = []
         ready = list(self.venv.ready_id)
+        self._seed_keys(key)
 
         while step_count < n_step:
-            key, k1 = jax.random.split(key)
+            k1 = self._next_key()
             obs_ready = np.asarray(self._obs)[ready]
             if random:
                 space = self.venv.action_space
@@ -85,7 +86,7 @@ class AsyncHostCollector(HostCollector):
                     truncated=jnp.asarray(_scatter(E, ids, trunc)),
                     obs_next=jnp.asarray(_scatter(E, ids, np.asarray(obs_next))),
                 )
-                self.buf_state, _ = self.buffer.add(self.buf_state, transition, mask=jnp.asarray(mask))
+                self._buffer_add(transition, mask)
 
             done = np.logical_or(term, trunc)
             self._ep_rew[ids] += rew

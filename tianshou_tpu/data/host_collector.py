@@ -37,6 +37,8 @@ class HostCollector:
         self.buf_state = None
         self._obs: np.ndarray | None = None
         self._forward_jit: dict = {}
+        self._add_jit = None
+        self._key_pool: list = []
         # vector (multi-agent) episode returns -> scalar for stats
         # (reference multi_agent_return_reduction, trainer.py:81)
         self.return_reduction = return_reduction if return_reduction is not None else (
@@ -61,6 +63,30 @@ class HostCollector:
     def reset_buffer(self, example: Batch) -> None:
         assert self.buffer is not None
         self.buf_state = self.buffer.init(example)
+
+    # ------------------------------------------------------------------
+    def _seed_keys(self, key: jax.Array) -> None:
+        """Start a fresh per-step key stream for one collect call."""
+        self._key_carry = key
+        self._key_pool = []
+
+    def _next_key(self) -> jax.Array:
+        """Amortized per-step PRNG key: one ``jax.random.split`` dispatch
+        (~ms of host overhead) buys 128 step keys."""
+        if not self._key_pool:
+            ks = jax.random.split(self._key_carry, 129)
+            self._key_carry = ks[0]
+            self._key_pool = list(ks[1:])
+        return self._key_pool.pop()
+
+    def _buffer_add(self, transition: Batch, mask) -> None:
+        """Jitted ring insert (donated state): the eager per-op dispatch of
+        an unjitted add() dominates host-path step cost otherwise."""
+        if self._add_jit is None:
+            self._add_jit = jax.jit(
+                lambda st, tr, m: self.buffer.add(st, tr, m)[0], donate_argnums=(0,)
+            )
+        self.buf_state = self._add_jit(self.buf_state, transition, jnp.asarray(mask))
 
     # ------------------------------------------------------------------
     def _forward(self, ts, obs_dev, key, training: bool):
@@ -99,9 +125,10 @@ class HostCollector:
         if n_episode is not None:
             # surplus-env masking (reference collector.py:1049)
             active = np.arange(E) < max(min(n_episode, E), 1)
+        self._seed_keys(key)
 
         while True:
-            key, k1 = jax.random.split(key)
+            k1 = self._next_key()
             if random:
                 space = self.venv.action_space
                 acts = np.stack([space.sample() for _ in range(E)])
@@ -132,9 +159,7 @@ class HostCollector:
                     truncated=jnp.asarray(trunc),
                     obs_next=obs_next_store,
                 )
-                self.buf_state, _ = self.buffer.add(
-                    self.buf_state, transition, mask=jnp.asarray(active)
-                )
+                self._buffer_add(transition, active)
 
             act_bc = active if rew.ndim == 1 else active[:, None]
             self._ep_rew += rew * act_bc
@@ -195,8 +220,9 @@ class HostCollector:
         steps: list[Batch] = []
         ep_returns: list[float] = []
         ep_lens: list[int] = []
+        self._seed_keys(key)
         for _ in range(n_step_per_env):
-            key, k1 = jax.random.split(key)
+            k1 = self._next_key()
             obs_dev = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
             raw, mapped = self._forward(ts, obs_dev, k1, training)
             acts = np.asarray(mapped)
