@@ -1,0 +1,29 @@
+"""NPG on the device MuJoCo-class envs (reference examples/mujoco/mujoco_npg.py:
+natural gradient via conjugate gradient, 64x64 nets).
+
+    python examples/mujoco/mujoco_npg.py --task HalfCheetah
+"""
+
+from _runner import onpolicy_argparser, run_onpolicy
+
+
+def make_algo(env):
+    from tianshou_tpu.algorithm.modelfree.npg import NPG
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+
+    nu = env.action_space.shape[0]
+    return NPG(
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=nu),
+        critic=ContinuousCritic(hidden_sizes=(64, 64), use_action=False),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.99, gae_lambda=0.95,
+        trust_region_size=0.5, optim_critic_iters=20,
+        action_bound_method="clip", deterministic_eval=True,
+    )
+
+
+if __name__ == "__main__":
+    args = onpolicy_argparser(rollout_len=64, batch_size=16384, repeat=1, num_envs=256)
+    run_onpolicy(make_algo, **{k.replace("-", "_"): v for k, v in vars(args.parse_args()).items()})

@@ -75,6 +75,9 @@ class ReplayBuffer:
     # ------------------------------------------------------------------
     def init(self, example: Batch) -> BufferState:
         """Allocate storage from a single example transition (no env axis)."""
+        from tianshou_tpu.data.types import TRANSITION_EXAMPLE_KEYS, validate_keys
+
+        validate_keys(example, TRANSITION_EXAMPLE_KEYS)
         E, C = self.num_envs, self.capacity
 
         def alloc(x):
