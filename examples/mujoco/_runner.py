@@ -115,3 +115,56 @@ def onpolicy_argparser(**defaults) -> argparse.ArgumentParser:
     p.add_argument("--repeat", type=int, default=defaults.get("repeat", 1))
     p.add_argument("--batch-size", type=int, default=defaults.get("batch_size", 4096))
     return p
+
+
+def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
+                       batch_size, start_steps, buffer_size=1_000_000,
+                       chunk_len=8, update_per_step=1.0, test_episodes=10,
+                       verbose=True, logger=None):
+    """Same protocol as :func:`run_offpolicy` but on the REAL Gymnasium
+    MuJoCo envs (requires the ``mujoco`` package) through the host
+    collector — the exact benchmark environment of the reference tables."""
+    import gymnasium as gym
+
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+    from tianshou_tpu.data.host_collector import HostCollector
+    from tianshou_tpu.env.core import Box
+    from tianshou_tpu.env.venvs import DummyVectorEnv
+    from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer, OffPolicyTrainerParams
+
+    gym_id = f"{task}-v4"
+    make = lambda: gym.make(gym_id)
+    probe = make()
+    obs_dim = probe.observation_space.shape[0]
+    nu = probe.action_space.shape[0]
+    probe.close()
+
+    class _EnvSpec:  # minimal spec with our Space types for the algorithm
+        observation_space = Box(low=[-float("inf")] * obs_dim, high=[float("inf")] * obs_dim)
+        action_space = Box(low=[-1.0] * nu, high=[1.0] * nu)
+
+    algo = make_algo(_EnvSpec())
+    key = jax.random.key(seed)
+    key, k = jax.random.split(key)
+    ts = algo.init(k, jnp.zeros(obs_dim))
+    buffer = VectorReplayBuffer(total_size=buffer_size, buffer_num=num_envs)
+    buf_state = buffer.init(Batch(
+        obs=jnp.zeros(obs_dim), act=jnp.zeros(nu), rew=jnp.float32(0),
+        terminated=jnp.bool_(False), truncated=jnp.bool_(False), obs_next=jnp.zeros(obs_dim),
+    ))
+    tc = HostCollector(DummyVectorEnv([make for _ in range(num_envs)]), algo, buffer)
+    ec = HostCollector(DummyVectorEnv([make for _ in range(test_episodes)]), algo, None)
+    params = OffPolicyTrainerParams(
+        max_epochs=epochs, epoch_num_steps=epoch_num_steps,
+        test_step_num_episodes=test_episodes, batch_size=batch_size,
+        collection_step_num_env_steps=chunk_len, update_per_step=update_per_step,
+        start_steps=start_steps, start_random=True, logger=logger,
+        verbose=verbose, seed=seed,
+    )
+    t0 = time.time()
+    result = HostOffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)
+    if verbose:
+        print(f"best_reward={result.best_reward:.1f} env_steps={result.env_step} "
+              f"({result.env_step / max(time.time() - t0, 1e-9):,.0f} steps/s) [real MuJoCo {gym_id}]")
+    return result

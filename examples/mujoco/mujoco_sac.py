@@ -99,6 +99,8 @@ def train(
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
+    p.add_argument("--backend", choices=["device", "host"], default="device",
+                   help="device = TPU physics core; host = REAL Gymnasium MuJoCo envs")
     p.add_argument("--task", default="HalfCheetah")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=50)
@@ -111,4 +113,26 @@ if __name__ == "__main__":
     kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
     if kw["alpha"] != "auto":
         kw["alpha"] = float(kw["alpha"])
-    train(**kw)
+    backend = kw.pop("backend")
+    if backend == "host":
+        from _runner import run_offpolicy_host
+        from tianshou_tpu.algorithm.modelfree.sac import SAC
+        from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+        from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+
+        alpha = kw.pop("alpha")
+
+        def make_algo(env):
+            nu = env.action_space.shape[0]
+            return SAC(
+                actor=ContinuousActorProbabilistic(hidden_sizes=(256, 256), action_dim=nu, conditioned_sigma=True),
+                critic=ContinuousCritic(hidden_sizes=(256, 256)),
+                action_space=env.action_space,
+                policy_optim=AdamOptimizerFactory(lr=1e-3),
+                critic_optim=AdamOptimizerFactory(lr=1e-3),
+                alpha=alpha, tau=0.005, gamma=0.99, n_step_return_horizon=1,
+            )
+
+        run_offpolicy_host(make_algo, **kw)
+    else:
+        train(**kw)

@@ -105,6 +105,8 @@ def train(
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
+    p.add_argument("--backend", choices=["device", "host"], default="device",
+                   help="device = TPU physics core; host = REAL Gymnasium MuJoCo envs")
     p.add_argument("--task", default="HalfCheetah")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=50)
@@ -113,4 +115,25 @@ if __name__ == "__main__":
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--start-steps", type=int, default=25_000)
     args = p.parse_args()
-    train(**{k.replace("-", "_"): v for k, v in vars(args).items()})
+    kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
+    backend = kw.pop("backend", "device")
+    if backend == "host":
+        from _runner import run_offpolicy_host
+        from tianshou_tpu.algorithm.modelfree.td3 import TD3
+        from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+        from tianshou_tpu.models.continuous import ContinuousActorDeterministic, ContinuousCritic
+
+        def make_algo(env):
+            nu = env.action_space.shape[0]
+            return TD3(
+                actor=ContinuousActorDeterministic(hidden_sizes=(256, 256), action_dim=nu),
+                critic=ContinuousCritic(hidden_sizes=(256, 256)),
+                action_space=env.action_space,
+                policy_optim=AdamOptimizerFactory(lr=3e-4),
+                critic_optim=AdamOptimizerFactory(lr=3e-4),
+                gamma=0.99, tau=0.005, policy_noise=0.2, noise_clip=0.5, update_actor_freq=2,
+            )
+
+        run_offpolicy_host(make_algo, **kw)
+    else:
+        train(**kw)
