@@ -84,8 +84,11 @@ def test_free_fall_parabola():
     q1, qd1 = sj(q, qd)  # 0.1 s
     t = 10 * m.timestep
     # semi-implicit Euler discrete free fall: dz = -g dt^2 * n(n+1)/2
-    n = 50  # 10 frames x 5 substeps
-    dt = m.timestep / 5
+    import numpy as _np
+
+    substeps = max(1, int(_np.ceil(m.timestep / 0.002 - 1e-9)))  # step() default
+    n = 10 * substeps
+    dt = m.timestep / substeps
     dz = 9.81 * dt * dt * n * (n + 1) / 2
     np.testing.assert_allclose(com_z(q1), z0 - dz, atol=2e-3)
 

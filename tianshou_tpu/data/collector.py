@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tianshou_tpu.algorithm.base import ActOut
 from tianshou_tpu.data.batch import Batch
 from tianshou_tpu.env.core import VectorDeviceEnv
 from tianshou_tpu.utils.determinism import TraceLogger
@@ -96,17 +97,27 @@ class DeviceCollector:
         return CollectState(env_state, obs, ps, jnp.zeros(E), jnp.zeros(E, jnp.int32))
 
     # ------------------------------------------------------------------
-    def _step_fn(self, ts, carry, key, training: bool, store: bool, keep_rollout: bool):
+    def _step_fn(self, ts, carry, key, training: bool, store: bool, keep_rollout: bool,
+                 random: bool = False):
         cstate, buf_state = carry
         k_act, k_noise, k_env, k_reset = jax.random.split(key, 4)
-        out = self.algo.forward(
-            ts, cstate.obs, k_act, state=cstate.policy_state, deterministic=not training
-        )
-        act = out.act
-        # applied in BOTH modes: eps-greedy policies use eps_inference at
-        # eval time (reference dqn.py:158, collector.py:741)
-        act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise, training=training)
-        env_act = self.algo.map_action(act)
+        if random:
+            # uniform action-space sampling for warmup prefill (reference
+            # RandomActionPolicy / start_timesteps, collector.py:724 stores
+            # map_action_inverse'd raw actions)
+            ks = jax.random.split(k_act, self.venv.num_envs)
+            env_act = jax.vmap(self.venv.env.action_space.sample)(ks)
+            act = self.algo.map_action_inverse(env_act)
+            out = ActOut(act=act, state=cstate.policy_state, info=Batch())
+        else:
+            out = self.algo.forward(
+                ts, cstate.obs, k_act, state=cstate.policy_state, deterministic=not training
+            )
+            act = out.act
+            # applied in BOTH modes: eps-greedy policies use eps_inference at
+            # eval time (reference dqn.py:158, collector.py:741)
+            act = self.algo.exploration_noise(ts, act, cstate.obs, k_noise, training=training)
+            env_act = self.algo.map_action(act)
         step = self.venv.step(cstate.env_state, env_act, k_env)
         done = step.terminated | step.truncated
         transition = Batch(
@@ -151,14 +162,14 @@ class DeviceCollector:
             per_step.rollout = transition
         return (new_cstate, buf_state), per_step
 
-    def _build_collect(self, n_steps: int, training: bool, keep_rollout: bool):
+    def _build_collect(self, n_steps: int, training: bool, keep_rollout: bool, random: bool = False):
         store = self.buffer is not None
 
         def run(ts, cstate, buf_state, key):
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):
-                return self._step_fn(ts, carry, k, training, store, keep_rollout)
+                return self._step_fn(ts, carry, k, training, store, keep_rollout, random)
 
             (cstate, buf_state), out = jax.lax.scan(body, (cstate, buf_state), keys)
             return cstate, buf_state, out
@@ -175,12 +186,14 @@ class DeviceCollector:
         n_steps: int,
         training: bool = True,
         keep_rollout: bool = False,
+        random: bool = False,
     ):
         """Collect ``n_steps`` per env. Returns (cstate, buf_state, out)
         where ``out.done/ep_ret/ep_len`` are [T, E] device arrays and
         ``out.rollout`` (if requested) is the time-major transition Batch.
+        ``random=True`` samples uniform actions (warmup prefill).
         """
-        sig = (n_steps, training, keep_rollout)
+        sig = (n_steps, training, keep_rollout, random)
         if sig not in self._collect_jit:
             self._collect_jit[sig] = self._build_collect(*sig)
         cstate, buf_state, out = self._collect_jit[sig](ts, cstate, buf_state, key)

@@ -295,19 +295,16 @@ class OffPolicyTrainer(_TrainerBase):
         T = p.collection_step_num_env_steps
         self._ts = ts
 
-        # prefill with random actions (reference start_timesteps, experiment.py:444)
+        # prefill with uniform random actions (reference start_timesteps /
+        # RandomActionPolicy, experiment.py:444, collector.py:724)
         if p.start_steps > 0:
             n_chunks = int(np.ceil(p.start_steps / (T * E)))
-            saved_eps = None
-            if p.start_random and "eps_training" in ts.hparams:
-                saved_eps = float(ts.hparams.eps_training)
-                ts = self._apply_hparams(ts, {"eps_training": 1.0})
             for _ in range(n_chunks):
                 key, k = _split_host(key)
-                cstate, buf_state, _ = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                cstate, buf_state, _ = self.train_collector.collect(
+                    ts, cstate, buf_state, k, T, random=p.start_random
+                )
                 self.env_step += T * E
-            if saved_eps is not None:
-                ts = self._apply_hparams(ts, {"eps_training": saved_eps})
 
         n_updates = max(1, round(p.update_per_step * T * E))
         # build the jitted programs once per trainer (repeat run() calls —
