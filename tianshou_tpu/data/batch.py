@@ -42,6 +42,16 @@ def _convert_value(v: Any) -> Any:
     if isinstance(v, dict):
         return Batch(v)
     if isinstance(v, _ARRAY_TYPES):
+        # object array of dicts (e.g. vectorized gym infos) -> stacked Batch
+        # with union keys + zero fill (reference test_batch.py:282-288)
+        if (
+            isinstance(v, np.ndarray)
+            and v.dtype == object
+            and v.ndim == 1
+            and len(v) > 0
+            and all(isinstance(e, (dict, Batch)) for e in v)
+        ):
+            return Batch.stack([Batch(e) if isinstance(e, dict) else e for e in v])
         return v
     if isinstance(v, np.generic):  # numpy scalars -> 0-d arrays
         return np.asarray(v)
@@ -76,8 +86,8 @@ class Batch:
             elif isinstance(_input, dict):
                 for k, v in _input.items():
                     d[k] = _convert_value(v)
-            elif isinstance(_input, (list, tuple)):
-                b = _convert_value(list(_input))
+            elif isinstance(_input, (list, tuple, np.ndarray)):
+                b = _convert_value(list(np.asarray(_input).ravel()) if isinstance(_input, np.ndarray) else list(_input))
                 if isinstance(b, Batch):
                     d.update(b._d)
                 else:
@@ -114,8 +124,15 @@ class Batch:
     def __contains__(self, key: str) -> bool:
         return key in self._d
 
-    def __iter__(self) -> Iterator[str]:
-        return iter(self._d)
+    def __iter__(self) -> Iterator["Batch"]:
+        """Iterate over ROWS (leading-axis slices), matching the reference
+        (batch.py:761) — NOT over keys like a dict."""
+        for i in range(len(self)):
+            yield self[i]
+
+    def get_keys(self) -> KeysView:
+        """Alias matching the reference API (batch.py:524)."""
+        return self._d.keys()
 
     # ---------------- attribute access ----------------
     def __getattr__(self, key: str) -> Any:
@@ -169,8 +186,8 @@ class Batch:
         lens = []
         for v in self._d.values():
             if isinstance(v, Batch):
-                if len(v._d) == 0:
-                    continue
+                if v.is_empty(recurse=True):
+                    continue  # recursively-empty sub-batches carry no length
                 lens.append(len(v))
             elif hasattr(v, "shape") and len(v.shape) > 0:
                 lens.append(v.shape[0])
@@ -218,11 +235,27 @@ class Batch:
             return arr
         return jax.tree.map(conv, self)
 
+    def to_numpy_(self) -> None:
+        """In-place host transfer (reference batch.py:385)."""
+        conv = self.to_numpy()
+        self._d.clear()
+        self._d.update(conv._d)
+
+    def to_jax_(self, dtype_map: dict | None = None, device: Any = None) -> None:
+        """In-place device transfer — the reference's ``to_torch_`` analogue."""
+        conv = self.to_jax(dtype_map=dtype_map, device=device)
+        self._d.clear()
+        self._d.update(conv._d)
+
     def to_dict(self, recurse: bool = True) -> dict:
         return {
             k: (v.to_dict() if recurse and isinstance(v, Batch) else v)
             for k, v in self._d.items()
         }
+
+    def to_list_of_dicts(self) -> list[dict]:
+        """Row-wise dicts (reference batch.py:521)."""
+        return [row.to_dict() for row in self]
 
     def copy(self) -> "Batch":
         """Shallow-structure copy (arrays shared; nested Batches copied)."""
@@ -233,50 +266,147 @@ class Batch:
 
     # ---------------- composition ----------------
     @staticmethod
-    def cat(batches: Sequence["Batch"], axis: int = 0) -> "Batch":
-        """Concatenate along axis (reference batch.py:976)."""
-        batches = [b for b in batches if isinstance(b, Batch) and len(b._d) > 0]
-        if not batches:
-            return Batch()
-        keys = list(batches[0]._d.keys())
-        for b in batches[1:]:
-            if list(b._d.keys()) != keys:
-                raise ValueError(
-                    f"cat requires identical keys, got {keys} vs {list(b._d.keys())}"
-                )
-        out = Batch()
-        for k in keys:
-            vals = [b._d[k] for b in batches]
-            if isinstance(vals[0], Batch):
-                out._d[k] = Batch.cat(vals, axis=axis)
-            elif isinstance(vals[0], jax.Array):
-                out._d[k] = jnp.concatenate(vals, axis=axis)
+    def _as_batches(batches: Sequence) -> list["Batch"]:
+        out = []
+        for b in batches:
+            if isinstance(b, dict):
+                out.append(Batch(b))
+            elif isinstance(b, Batch):
+                out.append(b)
             else:
-                out._d[k] = np.concatenate(vals, axis=axis)
+                raise ValueError(f"cat/stack elements must be Batch or dict, got {type(b)}")
         return out
 
-    def cat_(self, other: "Batch") -> None:
-        merged = Batch.cat([self, other])
+    @staticmethod
+    def _try_len(b: "Batch") -> int:
+        """Length of a Batch for cat padding; 0 when undeterminable
+        (no length-bearing keys — reference cat_ lens inference)."""
+        try:
+            return len(b)
+        except TypeError:
+            return 0
+
+    @staticmethod
+    def _is_empty_val(v: Any) -> bool:
+        return isinstance(v, Batch) and len(v._d) == 0
+
+    @staticmethod
+    def cat(batches: Sequence["Batch"], axis: int = 0) -> "Batch":
+        """Concatenate along axis (reference batch.py:976).
+
+        Keys missing in some inputs (or present as empty ``Batch()``) are
+        zero-padded with that input's inferred length (reference's lens
+        inference in ``cat_``); raises ValueError when the pad shape cannot
+        be inferred (e.g. 0-d values)."""
+        batches = Batch._as_batches(batches)
+        batches = [b for b in batches if len(b._d) > 0]
+        if not batches:
+            return Batch()
+        lens = [Batch._try_len(b) for b in batches]
+        return Batch._cat_lens(batches, lens, axis)
+
+    @staticmethod
+    def _cat_lens(batches: list["Batch"], lens: list[int], axis: int) -> "Batch":
+        keys: list[str] = []
+        for b in batches:
+            for k in b._d:
+                if k not in keys:
+                    keys.append(k)
+        out = Batch()
+        for k in keys:
+            vals = [b._d.get(k) for b in batches]
+            present = [v for v in vals if v is not None and not Batch._is_empty_val(v)]
+            if not present:
+                out._d[k] = Batch()
+                continue
+            if isinstance(present[0], Batch):
+                subs = [v if isinstance(v, Batch) else Batch() for v in vals]
+                if any(not isinstance(v, Batch) for v in present):
+                    raise ValueError(f"cat: key {k!r} mixes Batch and array values")
+                out._d[k] = Batch._cat_lens(subs, lens, axis)
+                continue
+            proto = present[0]
+            if proto.ndim == 0:
+                raise ValueError(f"cat: key {k!r} holds 0-d values; cannot concatenate")
+            parts = []
+            for v, b, n in zip(vals, batches, lens):
+                if v is None or Batch._is_empty_val(v):
+                    if n > 0:
+                        pad_shape = (n,) + tuple(proto.shape[1:])
+                        parts.append(
+                            jnp.zeros(pad_shape, proto.dtype)
+                            if isinstance(proto, jax.Array)
+                            else np.zeros(pad_shape, proto.dtype)
+                        )
+                    # n == 0: contributes nothing
+                else:
+                    parts.append(v)
+            out._d[k] = (
+                jnp.concatenate(parts, axis=axis)
+                if any(isinstance(p, jax.Array) for p in parts)
+                else np.concatenate(parts, axis=axis)
+            )
+        return out
+
+    def cat_(self, other: "Batch" | Sequence["Batch"]) -> None:
+        others = [other] if isinstance(other, (Batch, dict)) else list(other)
+        merged = Batch.cat([self, *others])
         self._d.clear()
         self._d.update(merged._d)
 
     @staticmethod
     def stack(batches: Sequence["Batch"], axis: int = 0) -> "Batch":
-        """Stack along a new axis (reference batch.py:1041)."""
-        batches = [Batch(b) if isinstance(b, dict) else b for b in batches]
+        """Stack along a new axis (reference batch.py:1041).
+
+        Keys missing in some inputs (or empty ``Batch()``) are zero-filled —
+        only valid at ``axis=0`` (reference raises otherwise)."""
+        batches = Batch._as_batches(batches)
+        batches = [b for b in batches if len(b._d) > 0]
         if not batches:
             return Batch()
-        keys = list(batches[0]._d.keys())
+        keys: list[str] = []
+        for b in batches:
+            for k in b._d:
+                if k not in keys:
+                    keys.append(k)
         out = Batch()
         for k in keys:
-            vals = [b._d[k] for b in batches]
-            if isinstance(vals[0], Batch):
-                out._d[k] = Batch.stack(vals, axis=axis)
-            elif isinstance(vals[0], jax.Array):
-                out._d[k] = jnp.stack(vals, axis=axis)
-            else:
-                out._d[k] = np.stack(vals, axis=axis)
+            vals = [b._d.get(k) for b in batches]
+            present = [v for v in vals if v is not None and not Batch._is_empty_val(v)]
+            if not present:
+                out._d[k] = Batch()
+                continue
+            if isinstance(present[0], Batch):
+                if any(not isinstance(v, Batch) for v in present):
+                    raise ValueError(f"stack: key {k!r} mixes Batch and array values")
+                subs = [v if isinstance(v, Batch) else Batch() for v in vals]
+                out._d[k] = Batch.stack(subs, axis=axis)
+                continue
+            if len(present) < len(vals):
+                if axis != 0:
+                    raise ValueError(
+                        f"stack: key {k!r} is missing in some inputs; "
+                        "zero-fill is only supported at axis=0"
+                    )
+                proto = present[0]
+                zero = (
+                    jnp.zeros(proto.shape, proto.dtype)
+                    if isinstance(proto, jax.Array)
+                    else np.zeros(proto.shape, proto.dtype)
+                )
+                vals = [zero if v is None or Batch._is_empty_val(v) else v for v in vals]
+            out._d[k] = (
+                jnp.stack(vals, axis=axis)
+                if any(isinstance(p, jax.Array) for p in vals)
+                else np.stack(vals, axis=axis)
+            )
         return out
+
+    def stack_(self, others: Sequence["Batch"], axis: int = 0) -> None:
+        """In-place stack (reference batch.py:429)."""
+        merged = Batch.stack([self, *others], axis=axis)
+        self._d.clear()
+        self._d.update(merged._d)
 
     def split(
         self,
@@ -299,6 +429,148 @@ class Batch:
                 yield self[indices[idx:]]
                 break
             yield self[indices[idx : idx + size]]
+
+    # ---------------- row clearing (reference batch.py:458-492) ----------
+    def empty_(self, index: Any = None) -> "Batch":
+        """Zero out rows at ``index`` (all rows if None) in place: numeric →
+        0, bool → False, object → None (reference batch.py:458)."""
+        for k, v in self._d.items():
+            if isinstance(v, Batch):
+                v.empty_(index)
+            elif isinstance(v, np.ndarray):
+                idx = ... if index is None else index
+                v[idx] = None if v.dtype == object else 0
+            else:  # jax array: functional update
+                if index is None:
+                    self._d[k] = jnp.zeros_like(v)
+                else:
+                    idx = np.asarray(index) if isinstance(index, (list, tuple)) else index
+                    self._d[k] = v.at[idx].set(0)
+        return self
+
+    @staticmethod
+    def empty(batch: "Batch", index: Any = None) -> "Batch":
+        """Copy of ``batch`` with rows at ``index`` zeroed (batch.py:486)."""
+        import copy as _copy
+
+        return _copy.deepcopy(batch).empty_(index)
+
+    # ---------------- keyed array assignment (reference batch.py:527) ----
+    def set_array_at_key(
+        self,
+        seq: Any,
+        key: str,
+        index: Any = None,
+        default_value: Any = None,
+    ) -> None:
+        """Assign ``seq`` at ``key`` (optionally only at row ``index``).
+
+        A missing key is created full-length, filled with ``default_value``
+        (NaN for float when None — reference batch.py:527-549)."""
+        seq = np.asarray(seq) if not isinstance(seq, _ARRAY_TYPES) else seq
+        if index is None:
+            if key in self._d:
+                cur = self._d[key]
+                if hasattr(cur, "shape") and len(cur.shape) > 0 and len(seq) != cur.shape[0]:
+                    raise ValueError(
+                        f"set_array_at_key: length {len(seq)} != existing {cur.shape[0]}"
+                    )
+            self._d[key] = seq
+            return
+        n = len(self)
+        idx_arr = np.asarray(index)
+        if idx_arr.dtype != bool and idx_arr.size and int(np.max(idx_arr)) >= n:
+            raise IndexError(f"set_array_at_key: index out of bounds for length {n}")
+        if key not in self._d:
+            if default_value is None and np.issubdtype(seq.dtype, np.floating):
+                fill = np.full((n,) + tuple(seq.shape[1:]), np.nan, seq.dtype)
+            else:
+                fill = np.full(
+                    (n,) + tuple(seq.shape[1:]),
+                    0 if default_value is None else default_value,
+                    seq.dtype,
+                )
+            self._d[key] = fill
+        tgt = self._d[key]
+        if isinstance(tgt, np.ndarray):
+            tgt[index] = np.asarray(seq)
+        else:
+            jdx = np.asarray(index) if isinstance(index, (list, tuple)) else index
+            self._d[key] = tgt.at[jdx].set(seq)
+
+    # ---------------- value transforms (reference batch.py:578-628) ------
+    def apply_values_transform(self, values_transform, inplace: bool = False):
+        """Apply ``values_transform`` to every array leaf (recursing into
+        nested Batches — reference batch.py:578)."""
+        if inplace:
+            for k, v in self._d.items():
+                if isinstance(v, Batch):
+                    v.apply_values_transform(values_transform, inplace=True)
+                else:
+                    self._d[k] = values_transform(v)
+            return None
+        out = Batch()
+        for k, v in self._d.items():
+            out._d[k] = (
+                v.apply_values_transform(values_transform)
+                if isinstance(v, Batch)
+                else values_transform(v)
+            )
+        return out
+
+    def to_at_least_2d(self) -> "Batch":
+        """Promote every leaf to >=2 dims (reference batch.py:616)."""
+        return self.apply_values_transform(
+            lambda x: jnp.atleast_2d(x) if isinstance(x, jax.Array) else np.atleast_2d(x)
+        )
+
+    def mean(self, axis: Any = None, dtype: Any = None, out: Any = None, **kw) -> "Batch":
+        """Per-leaf mean over the leading axis; makes ``np.mean(batch)``
+        return a Batch like the reference (test_batch.py:489-497)."""
+        return self.apply_values_transform(lambda x: x.mean(axis=0))
+
+    # ---------------- arithmetic (reference batch.py:795-844) ------------
+    def _binary_op(self, other: Any, op) -> "Batch":
+        out = Batch()
+        if isinstance(other, Batch):
+            if set(self._d.keys()) != set(other._d.keys()):
+                raise ValueError("arithmetic requires identical keys")
+            for k, v in self._d.items():
+                w = other._d[k]
+                out._d[k] = v._binary_op(w, op) if isinstance(v, Batch) else op(v, w)
+            return out
+        if not np.isscalar(other) and not isinstance(other, np.number):
+            raise TypeError(f"unsupported operand type {type(other)}")
+        for k, v in self._d.items():
+            out._d[k] = v._binary_op(other, op) if isinstance(v, Batch) else op(v, other)
+        return out
+
+    def __add__(self, other: Any) -> "Batch":
+        return self._binary_op(other, lambda a, b: a + b)
+
+    def __iadd__(self, other: Any) -> "Batch":
+        res = self + other
+        self._d.clear()
+        self._d.update(res._d)
+        return self
+
+    def __mul__(self, value: Any) -> "Batch":
+        return self._binary_op(value, lambda a, b: a * b)
+
+    def __imul__(self, value: Any) -> "Batch":
+        res = self * value
+        self._d.clear()
+        self._d.update(res._d)
+        return self
+
+    def __truediv__(self, value: Any) -> "Batch":
+        return self._binary_op(value, lambda a, b: a / b)
+
+    def __itruediv__(self, value: Any) -> "Batch":
+        res = self / value
+        self._d.clear()
+        self._d.update(res._d)
+        return self
 
     # ---------------- null handling (reference batch.py:1294-1325) --------
     @staticmethod

@@ -11,13 +11,17 @@ TanhNormal reproduces the reference's squashed-Gaussian log-prob correction
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 __all__ = ["Categorical", "MaskedCategorical", "Normal", "TanhNormal"]
 
-_HALF_LOG_2PI = 0.5 * jnp.log(2 * jnp.pi)
+# plain float: module-level jnp ops would initialize the XLA backend at
+# import time, breaking jax.distributed.initialize (must run first)
+_HALF_LOG_2PI = 0.5 * math.log(2 * math.pi)
 
 
 @struct.dataclass
