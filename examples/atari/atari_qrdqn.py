@@ -1,0 +1,22 @@
+"""QRDQN on Atari pixels — rebuild of the reference's
+examples/atari/atari_qrdqn.py (200 quantiles, n-step 3)."""
+
+from _runner import n_actions, parse_args, run_offpolicy
+
+from tianshou_tpu.algorithm.modelfree.qrdqn import QRDQN
+from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+from tianshou_tpu.env.core import Discrete
+from tianshou_tpu.models.atari import QRDQNet
+
+if __name__ == "__main__":
+    args = parse_args(lr=5e-5)
+    n = n_actions(args)
+    algo = QRDQN(
+        model=QRDQNet(action_dim=n, num_quantiles=200),
+        action_space=Discrete(n),
+        optim=AdamOptimizerFactory(lr=args.lr),
+        num_quantiles=200,
+        gamma=0.99, n_step_return_horizon=3, target_update_freq=500,
+        eps_training=1.0, eps_inference=0.005,
+    )
+    run_offpolicy(args, algo)

@@ -1,0 +1,33 @@
+"""Offline discrete BCQ on CartPole — analogue of the reference's
+examples/offline/atari_bcq.py on the gathered-CartPole dataset (ALE absent)."""
+
+from _gather import gather_cartpole
+
+import jax
+import jax.numpy as jnp
+
+from tianshou_tpu.algorithm.imitation.discrete_bcq import DiscreteBCQ
+from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+from tianshou_tpu.data.collector import DeviceCollector
+from tianshou_tpu.env.core import VectorDeviceEnv
+from tianshou_tpu.models.discrete import DiscreteActor
+from tianshou_tpu.models.mlp import Net
+from tianshou_tpu.trainer.trainer import OfflineTrainer, OfflineTrainerParams
+
+if __name__ == "__main__":
+    key = jax.random.key(0)
+    env, data, dstate, _, _ = gather_cartpole(key)
+    algo = DiscreteBCQ(
+        model=Net(hidden_sizes=(64, 64), output_dim=2),
+        imitator=DiscreteActor(hidden_sizes=(64, 64), action_dim=2),
+        action_space=env.action_space, optim=AdamOptimizerFactory(lr=3e-4),
+        gamma=0.97, n_step_return_horizon=3, target_update_freq=320,
+        unlikely_action_threshold=0.3,
+    )
+    key, k = jax.random.split(key)
+    ts = algo.init(k, jnp.zeros(4))
+    ec = DeviceCollector(VectorDeviceEnv(env, 10), algo, None)
+    res = OfflineTrainer(algo, data, ec, OfflineTrainerParams(
+        max_epochs=8, update_step_num_gradient_steps_per_epoch=500, batch_size=64,
+    )).run(ts, dstate, key)
+    print(f"offline discrete BCQ: best_reward={res.best_reward:.1f}")

@@ -1,0 +1,32 @@
+"""Offline discrete CQL on CartPole — analogue of the reference's
+examples/offline/atari_cql.py on the gathered-CartPole dataset (ALE absent)."""
+
+from _gather import gather_cartpole
+
+import jax
+import jax.numpy as jnp
+
+from tianshou_tpu.algorithm.imitation.discrete_cql import DiscreteCQL
+from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+from tianshou_tpu.data.collector import DeviceCollector
+from tianshou_tpu.env.core import VectorDeviceEnv
+from tianshou_tpu.models.mlp import Net
+from tianshou_tpu.trainer.trainer import OfflineTrainer, OfflineTrainerParams
+
+if __name__ == "__main__":
+    key = jax.random.key(0)
+    env, data, dstate, _, _ = gather_cartpole(key)
+    algo = DiscreteCQL(
+        model=Net(hidden_sizes=(64, 64), output_dim=2, num_atoms=64),
+        action_space=env.action_space, num_quantiles=64,
+        optim=AdamOptimizerFactory(lr=3e-4),
+        gamma=0.97, n_step_return_horizon=3, target_update_freq=320,
+        min_q_weight=10.0,
+    )
+    key, k = jax.random.split(key)
+    ts = algo.init(k, jnp.zeros(4))
+    ec = DeviceCollector(VectorDeviceEnv(env, 10), algo, None)
+    res = OfflineTrainer(algo, data, ec, OfflineTrainerParams(
+        max_epochs=8, update_step_num_gradient_steps_per_epoch=500, batch_size=64,
+    )).run(ts, dstate, key)
+    print(f"offline discrete CQL: best_reward={res.best_reward:.1f}")

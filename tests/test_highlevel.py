@@ -310,3 +310,58 @@ def test_bdqn_and_gail_builders():
         .run("gail")
     )
     assert r.env_step > 0
+
+
+def test_trainer_callbacks_and_logger_factory(tmp_path):
+    """Epoch callbacks drive hparams; LoggerFactoryDefault writes TB files
+    (reference highlevel/trainer.py:85-150, highlevel/logger.py:36)."""
+    from tianshou_tpu.env.classic.cartpole import CartPole
+    from tianshou_tpu.highlevel.config import ExperimentConfig, OffPolicyTrainingConfig
+    from tianshou_tpu.highlevel.experiment import DQNExperimentBuilder
+    from tianshou_tpu.highlevel.logger import LoggerFactoryDefault
+    from tianshou_tpu.highlevel.trainer import (
+        EpochStopCallbackRewardThreshold,
+        EpochTestCallbackDQNSetEps,
+        EpochTrainCallbackDQNEpsLinearDecay,
+    )
+
+    result = (
+        DQNExperimentBuilder(
+            lambda: CartPole(),
+            ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False),
+            OffPolicyTrainingConfig(
+                max_epochs=2, epoch_num_steps=1000, num_train_envs=8, num_test_envs=4,
+                buffer_size=5000, test_step_num_episodes=4,
+            ),
+        )
+        .with_epoch_train_callback(EpochTrainCallbackDQNEpsLinearDecay(1.0, 0.1, 5000))
+        .with_epoch_test_callback(EpochTestCallbackDQNSetEps(0.0))
+        .with_epoch_stop_callback(EpochStopCallbackRewardThreshold(threshold=10_000))
+        .with_logger_factory(LoggerFactoryDefault(log_dir=str(tmp_path / "tb")))
+        .build()
+        .run("cb_test")
+    )
+    assert result.env_step >= 2000
+    tb_dir = tmp_path / "tb" / "cb_test"
+    assert tb_dir.exists() and any(tb_dir.iterdir())
+
+
+def test_random_actor_and_dict_obs_net():
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.models.mlp import MLP, DictObsNet, RandomActor, flatten_dict_obs
+
+    ra = RandomActor(action_dim=3)
+    params = ra.init(jax.random.key(0), jnp.zeros((2, 4)))
+    logits = ra.apply(params, jnp.zeros((2, 4)))
+    assert logits.shape == (2, 3) and float(jnp.abs(logits).sum()) == 0.0
+
+    obs = Batch(pos=jnp.ones((5, 2)), vel=jnp.zeros((5, 3, 1)))
+    flat = flatten_dict_obs(obs)
+    assert flat.shape == (5, 5)
+    net = DictObsNet(net=MLP((8,), 2))
+    p = net.init(jax.random.key(0), obs)
+    out = jax.jit(lambda o: net.apply(p, o))(obs)
+    assert out.shape == (5, 2)

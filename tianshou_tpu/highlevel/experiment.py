@@ -90,6 +90,21 @@ class Experiment:
     logger_factory: Callable[[str], Any] | None = None
     offline_dataset: Any = None  # (buffer, buf_state) for offline builders
     buffer_factory: Callable[[int], Any] | None = None  # PER/HER hook
+    callbacks: Any = None  # TrainerCallbacks (highlevel/trainer.py)
+
+    def _callback_fns(self, algo, env, logger):
+        """Resolve TrainerCallbacks into (train_fn, test_fn, stop_fn)
+        trainer hooks (reference highlevel/algorithm.py trainer assembly)."""
+        cb = self.callbacks
+        if cb is None:
+            return None, None, None
+        from tianshou_tpu.highlevel.trainer import TrainingContext
+
+        ctx = TrainingContext(algo, env, logger)
+        train_fn = cb.epoch_train_callback.get_trainer_fn(ctx) if cb.epoch_train_callback else None
+        test_fn = cb.epoch_test_callback.get_trainer_fn(ctx) if cb.epoch_test_callback else None
+        stop_fn = cb.epoch_stop_callback.get_trainer_fn(ctx) if cb.epoch_stop_callback else None
+        return train_fn, test_fn, stop_fn
 
     def run(self, run_name: str = "experiment") -> TrainResult:
         from tianshou_tpu.highlevel.env import GymEnvFactory
@@ -116,8 +131,9 @@ class Experiment:
             def save_best(best_ts):
                 save_train_state(os.path.join(persist_dir, "best"), best_ts)
 
-        stop_fn = None
-        if tc.stop_threshold is not None:
+        cb_train_fn, cb_test_fn, cb_stop_fn = self._callback_fns(algo, env, logger)
+        stop_fn = cb_stop_fn
+        if stop_fn is None and tc.stop_threshold is not None:
             stop_fn = lambda r: r >= tc.stop_threshold  # noqa: E731
 
         if self.offline_dataset is not None:
@@ -133,6 +149,8 @@ class Experiment:
                 batch_size=getattr(tc, "batch_size", 128),
                 test_step_num_episodes=tc.test_step_num_episodes,
                 stop_fn=stop_fn,
+                train_fn=cb_train_fn,
+                test_fn=cb_test_fn,
                 save_best_fn=save_best,
                 logger=logger,
                 verbose=False,
@@ -149,6 +167,8 @@ class Experiment:
                 collection_step_num_env_steps=tc.collection_step_num_env_steps,
                 update_step_num_repetitions=tc.update_step_num_repetitions,
                 stop_fn=stop_fn,
+                train_fn=cb_train_fn,
+                test_fn=cb_test_fn,
                 save_best_fn=save_best,
                 logger=logger,
                 verbose=False,
@@ -184,6 +204,8 @@ class Experiment:
                 start_steps=tc.start_timesteps,
                 start_random=tc.start_timesteps_random,
                 stop_fn=stop_fn,
+                train_fn=cb_train_fn,
+                test_fn=cb_test_fn,
                 save_best_fn=save_best,
                 logger=logger,
                 verbose=False,
@@ -222,8 +244,11 @@ class Experiment:
             tcol = HostCollector(self.env_factory.create_venv(tc.num_train_envs), algo)
             ecol = HostCollector(self.env_factory.create_venv(tc.num_test_envs), algo)
             logger = self.logger_factory(run_name) if self.logger_factory else LazyLogger()
-            stop_fn = (lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None
+            cb_train_fn, cb_test_fn, cb_stop_fn = self._callback_fns(algo, env_like, logger)
+            stop_fn = cb_stop_fn or ((lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None)
             params = OnPolicyTrainerParams(
+                train_fn=cb_train_fn,
+                test_fn=cb_test_fn,
                 max_epochs=tc.max_epochs,
                 epoch_num_steps=tc.epoch_num_steps,
                 test_step_num_episodes=tc.test_step_num_episodes,
@@ -255,8 +280,11 @@ class Experiment:
         tcol = HostCollector(self.env_factory.create_venv(tc.num_train_envs), algo, buffer)
         ecol = HostCollector(self.env_factory.create_venv(tc.num_test_envs), algo, None)
         logger = self.logger_factory(run_name) if self.logger_factory else LazyLogger()
-        stop_fn = (lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None
+        cb_train_fn, cb_test_fn, cb_stop_fn = self._callback_fns(algo, env_like, logger)
+        stop_fn = cb_stop_fn or ((lambda r: r >= tc.stop_threshold) if tc.stop_threshold is not None else None)
         params = OffPolicyTrainerParams(
+            train_fn=cb_train_fn,
+            test_fn=cb_test_fn,
             max_epochs=tc.max_epochs,
             epoch_num_steps=tc.epoch_num_steps,
             test_step_num_episodes=tc.test_step_num_episodes,
@@ -380,6 +408,28 @@ class ExperimentBuilder:
         return wrapper(algo, model, lr_scale=icm["lr_scale"], reward_scale=icm["reward_scale"],
                        forward_loss_weight=icm["forward_loss_weight"])
 
+    def _get_callbacks(self):
+        from tianshou_tpu.highlevel.trainer import TrainerCallbacks
+
+        if not hasattr(self, "_callbacks"):
+            self._callbacks = TrainerCallbacks()
+        return self._callbacks
+
+    def with_epoch_train_callback(self, cb) -> "ExperimentBuilder":
+        """Epoch-start hparam override hook (reference experiment.py:636)."""
+        self._get_callbacks().epoch_train_callback = cb
+        return self
+
+    def with_epoch_test_callback(self, cb) -> "ExperimentBuilder":
+        """Test-phase hparam override hook (reference experiment.py:645)."""
+        self._get_callbacks().epoch_test_callback = cb
+        return self
+
+    def with_epoch_stop_callback(self, cb) -> "ExperimentBuilder":
+        """Early-stop decision hook (reference experiment.py:654)."""
+        self._get_callbacks().epoch_stop_callback = cb
+        return self
+
     def with_buffer_factory(self, factory) -> "ExperimentBuilder":
         """Custom replay buffer: ``factory(num_envs) -> buffer`` — the hook
         for PER (PrioritizedVectorReplayBuffer) and HER (HERReplayBuffer),
@@ -396,6 +446,7 @@ class ExperimentBuilder:
             algo_factory=self._make_algo,
             logger_factory=self._logger_factory,
             buffer_factory=getattr(self, "_buffer_factory", None),
+            callbacks=getattr(self, "_callbacks", None),
         )
 
 

@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 from tianshou_tpu.models.discrete import NoisyLinear
 
-__all__ = ["NatureCNN", "DQNet", "C51Net", "QRDQNet", "RainbowAtariNet"]
+__all__ = [
+    "NatureCNN", "DQNet", "C51Net", "QRDQNet", "RainbowAtariNet",
+    "ImplicitQuantileAtariNet",
+]
 
 
 class NatureCNN(nn.Module):
@@ -80,6 +83,36 @@ class QRDQNet(nn.Module):
         h = NatureCNN(self.features)(x)
         q = nn.Dense(self.action_dim * self.num_quantiles)(h)
         return q.reshape(-1, self.action_dim, self.num_quantiles)
+
+
+class ImplicitQuantileAtariNet(nn.Module):
+    """NatureCNN trunk + cosine tau embedding -> Q(tau) quantiles, the Atari
+    IQN/FQF head (reference atari_network.py QRDQN/ImplicitQuantileNetwork
+    wiring). Exposes ``features``/``quantiles`` like
+    models.discrete.ImplicitQuantileNetwork so IQN and FQF both drive it."""
+
+    action_dim: int
+    features_dim: int = 512
+    num_cosines: int = 64
+
+    def setup(self) -> None:
+        from tianshou_tpu.models.discrete import CosineEmbedding
+
+        self.trunk = NatureCNN(self.features_dim)
+        self.cos_emb = CosineEmbedding(self.features_dim, self.num_cosines)
+        self.merge = nn.Dense(self.features_dim)
+        self.head = nn.Dense(self.action_dim)
+
+    def features(self, obs: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk(obs)
+
+    def quantiles(self, feat: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
+        tau_emb = self.cos_emb(taus)  # [B, K, F]
+        mixed = feat[:, None, :] * tau_emb
+        return self.head(nn.relu(self.merge(mixed)))  # [B, K, A]
+
+    def __call__(self, obs: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
+        return self.quantiles(self.features(obs), taus)
 
 
 class RainbowAtariNet(nn.Module):

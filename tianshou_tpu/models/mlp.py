@@ -18,7 +18,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["MLP", "Net", "DuelingNet", "EnsembleLinear", "BranchingNet"]
+__all__ = ["MLP", "Net", "DuelingNet", "EnsembleLinear", "BranchingNet", "RandomActor", "DictObsNet", "flatten_dict_obs"]
 
 
 class MLP(nn.Module):
@@ -147,3 +147,46 @@ class BranchingNet(nn.Module):
         adv = adv.transpose(1, 0, 2)  # [B, K, A]
         q = val[:, :, None] + adv - adv.mean(axis=-1, keepdims=True)
         return q  # [B, num_branches, action_per_branch]
+
+
+class RandomActor(nn.Module):
+    """Uniform-random "actor" (reference net/common.py:746): returns flat
+    logits (discrete) or zero mean / unit sigma (continuous), giving a
+    uniform / standard-normal action distribution regardless of obs. Used
+    as the baseline module in builders that need a policy-shaped net."""
+
+    action_dim: int
+    discrete: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        B = obs.shape[0]
+        if self.discrete:
+            return jnp.zeros((B, self.action_dim))  # uniform logits
+        return jnp.zeros((B, self.action_dim)), jnp.ones((B, self.action_dim))
+
+
+def flatten_dict_obs(obs) -> jnp.ndarray:
+    """Flatten a dict/Batch observation into one feature vector per row —
+    the analogue of the reference's ``get_dict_state_decorator``
+    (net/common.py:677). Leaves are raveled per-sample and concatenated in
+    sorted-key order (deterministic across calls); works under jit/vmap."""
+    import jax
+
+    leaves_with_paths = sorted(
+        jax.tree_util.tree_flatten_with_path(obs)[0], key=lambda kv: str(kv[0])
+    )
+    arrs = [v.reshape(v.shape[0], -1) for _, v in leaves_with_paths]
+    return jnp.concatenate(arrs, axis=-1)
+
+
+class DictObsNet(nn.Module):
+    """Wrap any obs->out module to accept dict/Batch observations by
+    flattening them first (reference get_dict_state_decorator)."""
+
+    net: nn.Module
+
+    def __call__(self, obs, *args, **kwargs):
+        if not isinstance(obs, jnp.ndarray):
+            obs = flatten_dict_obs(obs)
+        return self.net(obs, *args, **kwargs)
