@@ -105,3 +105,54 @@ def test_acrobot_solvable_reward_structure():
     s, obs = env.reset(jax.random.key(0))
     step = env.step(s, jnp.int32(2), jax.random.key(1))
     assert float(step.reward) in (-1.0, 0.0)
+
+
+class DictObsMoveEnv(MoveToRightEnv):
+    """MoveToRight with a dict observation {index, achieved_goal} — the
+    device analogue of reference test_collector_with_dict_state
+    (test_collector.py:391)."""
+
+    def _obs(self, s):
+        x = s.index.astype(jnp.float32)
+        return Batch(index=x[None], achieved_goal=jnp.stack([x, x * 0.5]))
+
+
+def test_collector_with_dict_obs():
+    """Dict observations flow collect -> buffer -> sample -> net update
+    (reference test_collector.py:391-527) with Batch-structured obs."""
+    from tianshou_tpu.algorithm.modelfree.dqn import DQN
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.models.mlp import MLP, DictObsNet
+
+    env = DictObsMoveEnv()
+    algo = DQN(
+        model=DictObsNet(net=MLP((32,), 2)),
+        action_space=env.action_space,
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=0.9, eps_training=0.5,
+    )
+    key = jax.random.key(0)
+    key, k = jax.random.split(key)
+    obs_example = Batch(index=jnp.zeros(1), achieved_goal=jnp.zeros(2))
+    ts = algo.init(k, obs_example)
+    buffer = VectorReplayBuffer(total_size=512, buffer_num=4)
+    buf_state = buffer.init(Batch(
+        obs=obs_example, act=jnp.int32(0), rew=jnp.float32(0),
+        terminated=jnp.bool_(False), truncated=jnp.bool_(False),
+        obs_next=obs_example,
+    ))
+    col = DeviceCollector(VectorDeviceEnv(env, 4), algo, buffer)
+    key, kr, kc = jax.random.split(key, 3)
+    cstate = col.reset(kr)
+    cstate, buf_state, out = col.collect(ts, cstate, buf_state, kc, 32)
+    # dict structure survives the ring
+    assert isinstance(buf_state.data.obs, Batch)
+    assert buf_state.data.obs.index.shape[-1] == 1
+    assert buf_state.data.obs.achieved_goal.shape[-1] == 2
+    # sample + one gradient step through the dict-obs net
+    key, ks, ku = jax.random.split(key, 3)
+    idx = buffer.sample_indices(buf_state, ks, 16)
+    batch = buffer.get(buf_state, idx)
+    assert isinstance(batch.obs, Batch) and len(batch.obs.index) == 16
+    ts2, buf_state2, stats = algo.update(ts, buffer, buf_state, ku, batch_size=16)
+    assert int(ts2.step) == int(ts.step) + 1
