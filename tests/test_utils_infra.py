@@ -177,3 +177,31 @@ def test_determinism_different_seed():
     _, h1 = _run_traced(0)
     _, h2 = _run_traced(1)
     assert h1 != h2
+
+
+def test_rliable_curves_and_plot(tmp_path):
+    """Load multi-seed TB curves, aggregate IQM + CI band, render the plot
+    (reference rliable_evaluation.py LoggedCollectStats/eval_results)."""
+    import numpy as np
+
+    from tianshou_tpu.evaluation.rliable_evaluation import (
+        load_and_eval_experiments,
+        plot_iqm_curve,
+    )
+    from tianshou_tpu.utils.logger.tensorboard import TensorboardLogger
+
+    dirs = []
+    for seed in range(3):
+        d = str(tmp_path / f"run{seed}")
+        lg = TensorboardLogger(log_dir=d, test_interval=1)
+        for i, step in enumerate([0, 100, 200, 300]):
+            lg.write("test/env_step", step, {"test/reward": float(seed + i * 10)})
+        lg.writer.close()  # event file must be closed for the accumulator to see it
+        dirs.append(d)
+    grid, iqm_c, lo, hi, summary = load_and_eval_experiments(dirs, n_boot=200)
+    assert len(grid) == 4 and np.all(np.diff(iqm_c) > 0)
+    assert summary.n_runs == 3 and lo[-1] <= summary.iqm <= hi[-1] + 1e-9
+    out = str(tmp_path / "curve.png")
+    plot_iqm_curve(grid, iqm_c, lo, hi, title="t", out_path=out)
+    import os
+    assert os.path.getsize(out) > 0
