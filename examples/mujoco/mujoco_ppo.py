@@ -29,10 +29,10 @@ def train(
     seed: int = 0,
     epochs: int = 30,
     epoch_num_steps: int = 100_000,
-    num_envs: int = 256,
-    rollout_len: int = 64,
+    num_envs: int = 16,
+    rollout_len: int = 128,   # 2048 steps per collect (reference protocol)
     repeat: int = 10,
-    batch_size: int = 4096,
+    batch_size: int = 64,
     lr: float = 3e-4,
     lr_decay: bool = True,
     gamma: float = 0.99,
@@ -57,8 +57,10 @@ def train(
     total_updates = max(1, epochs * epoch_num_steps // (num_envs * rollout_len)) * repeat
     sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
     algo = PPO(
-        actor=ContinuousActorProbabilistic(hidden_sizes=hidden, action_dim=nu),
-        critic=ContinuousCritic(hidden_sizes=hidden, use_action=False),
+        # reference init recipe (mujoco_ppo.py:109-120): tanh nets,
+        # orthogonal kernels, 0.01-scaled final mu layer, sigma exp(-0.5)
+        actor=ContinuousActorProbabilistic(hidden_sizes=hidden, action_dim=nu, ppo_init=True),
+        critic=ContinuousCritic(hidden_sizes=hidden, use_action=False, ppo_init=True),
         action_space=env.action_space,
         optim=AdamOptimizerFactory(lr=sched, max_grad_norm=0.5),
         gamma=gamma,
@@ -67,6 +69,7 @@ def train(
         value_clip=True,
         advantage_normalization=False,
         return_standardization=True,
+        recompute_advantage=True,
         vf_coef=0.25,
         ent_coef=0.0,
         action_bound_method="clip",

@@ -27,6 +27,7 @@ class PPO(A2C):
         dual_clip: float | None = None,
         value_clip: bool = False,
         advantage_normalization: bool = True,
+        recompute_advantage: bool = False,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -37,6 +38,24 @@ class PPO(A2C):
         self.eps_clip = eps_clip
         self.dual_clip = dual_clip
         self.value_clip = value_clip
+        self.recompute_advantage = recompute_advantage
+
+    def update_rollout(self, ts, rollout, key, repeat: int, batch_size: int):
+        """With ``recompute_advantage`` (reference ppo.py:152-177), GAE is
+        recomputed with the freshly-updated critic before every repeat pass;
+        otherwise defer to the single-process base implementation."""
+        if not self.recompute_advantage:
+            return super().update_rollout(ts, rollout, key, repeat, batch_size)
+        import jax
+
+        from tianshou_tpu.data.batch import Batch as _B
+
+        stats = None
+        for r in range(repeat):
+            key, k_proc, k_loop = jax.random.split(key, 3)
+            batch = self.process_rollout(ts, rollout, k_proc)
+            ts, stats = self.run_minibatch_updates(ts, batch, k_loop, 1, batch_size)
+        return ts, stats if stats is not None else _B()
 
     def loss_minibatch(self, params, mb: Batch, key: jax.Array):
         dist = self._dist(params, mb.obs)

@@ -38,36 +38,63 @@ class ContinuousActorProbabilistic(nn.Module):
 
     ``conditioned_sigma``: sigma is a network head; otherwise a learned
     state-independent log-sigma parameter (clamped to [SIGMA_MIN, SIGMA_MAX]).
+
+    ``ppo_init`` applies the reference MuJoCo-PPO initialization recipe
+    (reference mujoco_ppo.py:109-120, arXiv:2006.05990 Fig.24): tanh
+    activations, orthogonal kernels with gain sqrt(2), the final mu layer
+    scaled by 0.01, and log-sigma initialized to ``sigma_init``.
     """
 
     hidden_sizes: Sequence[int]
     action_dim: int
     conditioned_sigma: bool = False
+    ppo_init: bool = False
+    sigma_init: float = -0.5
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        feat = MLP(self.hidden_sizes)(obs)
-        mu = nn.Dense(self.action_dim)(feat)
+        if self.ppo_init:
+            feat = MLP(
+                self.hidden_sizes,
+                activation=nn.tanh,
+                kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)),
+            )(obs)
+            mu = nn.Dense(
+                self.action_dim,
+                kernel_init=nn.initializers.orthogonal(0.01),
+            )(feat)
+        else:
+            feat = MLP(self.hidden_sizes)(obs)
+            mu = nn.Dense(self.action_dim)(feat)
         if self.conditioned_sigma:
             log_sigma = nn.Dense(self.action_dim)(feat)
             log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)
         else:
-            log_sigma = self.param("log_sigma", nn.initializers.zeros, (self.action_dim,))
+            init = nn.initializers.constant(self.sigma_init) if self.ppo_init else nn.initializers.zeros
+            log_sigma = self.param("log_sigma", init, (self.action_dim,))
             log_sigma = jnp.broadcast_to(jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX), mu.shape)
         return mu, jnp.exp(log_sigma)
 
 
 class ContinuousCritic(nn.Module):
-    """(obs, act?) -> scalar value (reference continuous.py:99)."""
+    """(obs, act?) -> scalar value (reference continuous.py:99).
+    ``ppo_init``: tanh + orthogonal kernels (see actor docstring)."""
 
     hidden_sizes: Sequence[int]
     use_action: bool = True
+    ppo_init: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, act: jnp.ndarray | None = None) -> jnp.ndarray:
         x = obs.reshape(obs.shape[0], -1)
         if self.use_action and act is not None:
             x = jnp.concatenate([x, act.reshape(act.shape[0], -1)], axis=-1)
+        if self.ppo_init:
+            return MLP(
+                self.hidden_sizes, 1,
+                activation=nn.tanh,
+                kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)),
+            )(x)[:, 0]
         return MLP(self.hidden_sizes, 1)(x)[:, 0]
 
 

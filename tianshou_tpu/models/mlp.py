@@ -31,19 +31,21 @@ class MLP(nn.Module):
     norm: str | None = None  # None | "layer"
     flatten_input: bool = True
     compute_dtype: Any = jnp.float32
+    kernel_init: Callable | None = None  # None -> flax default (lecun_normal)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.flatten_input and x.ndim > 2:
             x = x.reshape(x.shape[0], -1)
         x = x.astype(self.compute_dtype)
+        kw = {} if self.kernel_init is None else {"kernel_init": self.kernel_init}
         for h in self.hidden_sizes:
-            x = nn.Dense(h, dtype=self.compute_dtype)(x)
+            x = nn.Dense(h, dtype=self.compute_dtype, **kw)(x)
             if self.norm == "layer":
                 x = nn.LayerNorm(dtype=self.compute_dtype)(x)
             x = self.activation(x)
         if self.output_dim > 0:
-            x = nn.Dense(self.output_dim, dtype=self.compute_dtype)(x)
+            x = nn.Dense(self.output_dim, dtype=self.compute_dtype, **kw)(x)
         return x.astype(jnp.float32)
 
 
