@@ -50,10 +50,19 @@ class PPO(A2C):
 
         from tianshou_tpu.data.batch import Batch as _B
 
+        key, k_first = jax.random.split(key)
+        batch = self.process_rollout(ts, rollout, k_first)
         stats = None
         for r in range(repeat):
             key, k_proc, k_loop = jax.random.split(key, 3)
-            batch = self.process_rollout(ts, rollout, k_proc)
+            if r > 0:
+                # fresh critic -> fresh v_s/adv/returns, but logp_old /
+                # dist_old stay from the COLLECTION-time policy (reference
+                # ppo.py:152-177 recomputes only the advantage quantities)
+                fresh = self.process_rollout(ts, rollout, k_proc)
+                batch.v_s = fresh.v_s
+                batch.adv = fresh.adv
+                batch.returns = fresh.returns
             ts, stats = self.run_minibatch_updates(ts, batch, k_loop, 1, batch_size)
         return ts, stats if stats is not None else _B()
 
