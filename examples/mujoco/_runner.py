@@ -168,3 +168,53 @@ def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
         print(f"best_reward={result.best_reward:.1f} env_steps={result.env_step} "
               f"({result.env_step / max(time.time() - t0, 1e-9):,.0f} steps/s) [real MuJoCo {gym_id}]")
     return result
+
+
+def run_onpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
+                      batch_size, rollout_len=256, repeat=10, test_episodes=10,
+                      verbose=True, logger=None):
+    """On-policy (PPO-family) training on the REAL Gymnasium MuJoCo envs
+    (reference mujoco_ppo.py protocol: shared VectorEnvNormObs obs_rms
+    updated on train and frozen on test, 2048-step collects)."""
+    import gymnasium as gym
+
+    from tianshou_tpu.data.host_collector import HostCollector
+    from tianshou_tpu.env.core import Box
+    from tianshou_tpu.env.venvs import DummyVectorEnv, VectorEnvNormObs
+    from tianshou_tpu.trainer.trainer import HostOnPolicyTrainer, OnPolicyTrainerParams
+
+    gym_id = f"{task}-v4"
+    make = lambda: gym.make(gym_id)
+    probe = make()
+    obs_dim = probe.observation_space.shape[0]
+    nu = probe.action_space.shape[0]
+    probe.close()
+
+    class _EnvSpec:
+        observation_space = Box(low=[-float("inf")] * obs_dim, high=[float("inf")] * obs_dim)
+        action_space = Box(low=[-1.0] * nu, high=[1.0] * nu)
+
+    algo = make_algo(_EnvSpec())
+    key = jax.random.key(seed)
+    key, k = jax.random.split(key)
+    ts = algo.init(k, jnp.zeros(obs_dim))
+    train_venv = VectorEnvNormObs(DummyVectorEnv([make for _ in range(num_envs)]))
+    test_venv = VectorEnvNormObs(
+        DummyVectorEnv([make for _ in range(test_episodes)]), update_obs_rms=False
+    )
+    test_venv.set_obs_rms(train_venv.get_obs_rms())  # shared, frozen on test
+    tc = HostCollector(train_venv, algo)
+    ec = HostCollector(test_venv, algo, None)
+    params = OnPolicyTrainerParams(
+        max_epochs=epochs, epoch_num_steps=epoch_num_steps,
+        test_step_num_episodes=test_episodes, batch_size=batch_size,
+        collection_step_num_env_steps=rollout_len,
+        update_step_num_repetitions=repeat,
+        logger=logger, verbose=verbose, seed=seed,
+    )
+    t0 = time.time()
+    result = HostOnPolicyTrainer(algo, tc, ec, params).run(ts, key)
+    if verbose:
+        print(f"best_reward={result.best_reward:.1f} env_steps={result.env_step} "
+              f"({result.env_step / max(time.time() - t0, 1e-9):,.0f} steps/s) [real MuJoCo {gym_id}]")
+    return result

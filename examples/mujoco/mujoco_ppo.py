@@ -99,16 +99,55 @@ def train(
     return result
 
 
+def train_host(task="HalfCheetah", seed=0, epochs=30, epoch_num_steps=100_000,
+               num_envs=16, rollout_len=128, repeat=10, batch_size=64,
+               lr=3e-4, lr_decay=True, hidden=(64, 64), test_episodes=10,
+               verbose=True, logger=None, **_ignored):
+    """PPO on the REAL Gymnasium MuJoCo envs (reference protocol)."""
+    from _runner import run_onpolicy_host
+
+    from tianshou_tpu.algorithm.modelfree.ppo import PPO
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory, linear_lr_schedule
+    from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
+
+    total_updates = max(1, epochs * epoch_num_steps // (num_envs * rollout_len)) * repeat
+    sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
+
+    def make_algo(env):
+        nu = env.action_space.shape[0]
+        return PPO(
+            actor=ContinuousActorProbabilistic(hidden_sizes=hidden, action_dim=nu, ppo_init=True),
+            critic=ContinuousCritic(hidden_sizes=hidden, use_action=False, ppo_init=True),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=sched, max_grad_norm=0.5),
+            gamma=0.99, gae_lambda=0.95, eps_clip=0.2, value_clip=True,
+            advantage_normalization=False, return_standardization=True,
+            recompute_advantage=True, vf_coef=0.25, ent_coef=0.0,
+            action_bound_method="clip", deterministic_eval=True,
+        )
+
+    return run_onpolicy_host(
+        make_algo, task=task, seed=seed, epochs=epochs,
+        epoch_num_steps=epoch_num_steps, num_envs=num_envs,
+        batch_size=batch_size, rollout_len=rollout_len, repeat=repeat,
+        test_episodes=test_episodes, verbose=verbose, logger=logger,
+    )
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
+    p.add_argument("--backend", choices=["device", "host"], default="device",
+                   help="device = TPU physics core; host = REAL Gymnasium MuJoCo envs")
     p.add_argument("--task", default="HalfCheetah")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--epoch-num-steps", type=int, default=100_000)
-    p.add_argument("--num-envs", type=int, default=256)
-    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--rollout-len", type=int, default=128)
     p.add_argument("--repeat", type=int, default=10)
-    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
     args = p.parse_args()
-    train(**{k.replace("-", "_"): v for k, v in vars(args).items()})
+    kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
+    backend = kw.pop("backend")
+    (train_host if backend == "host" else train)(**kw)

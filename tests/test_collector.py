@@ -156,3 +156,43 @@ def test_collector_with_dict_obs():
     assert isinstance(batch.obs, Batch) and len(batch.obs.index) == 16
     ts2, buf_state2, stats = algo.update(ts, buffer, buf_state, ku, batch_size=16)
     assert int(ts2.step) == int(ts.step) + 1
+
+
+def test_normobs_rms_handoff_to_test_envs():
+    """Pooled train obs-norm stats are injected into test-env resets
+    (reference shares one obs_rms between train and test envs,
+    venv_wrappers.py:99); without injection the policy evaluates under
+    fresh statistics and scores garbage."""
+    from tianshou_tpu.env.wrappers import (
+        NormObs,
+        RMSState,
+        extract_pooled_rms,
+        inject_rms,
+        merge_rms,
+    )
+
+    # merge: pooled stats equal the flat-sample statistics
+    rng = np.random.default_rng(0)
+    xs = rng.normal(3.0, 2.0, (4, 50, 2))  # 4 envs x 50 samples x dim2
+    per_env = RMSState(
+        mean=jnp.asarray(xs.mean(axis=1)),
+        var=jnp.asarray(xs.var(axis=1)),
+        count=jnp.full((4,), 50.0),
+    )
+    pooled = merge_rms(per_env)
+    np.testing.assert_allclose(np.asarray(pooled.mean), xs.reshape(-1, 2).mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled.var), xs.reshape(-1, 2).var(0), rtol=1e-5)
+    assert float(pooled.count) == 200.0
+
+    # extract + inject roundtrip through a vectorized NormObs env state
+    env = NormObs(MoveToRightEnv())
+    venv = VectorDeviceEnv(env, 4)
+    state, obs = venv.reset(jax.random.key(0))
+    extracted = extract_pooled_rms(env, state)
+    assert extracted is not None
+    injected = inject_rms(env, state, pooled)
+    got = extract_pooled_rms(env, injected)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(pooled.mean), rtol=1e-6)
+    # every env slot carries the same injected stats
+    assert injected.rms.mean.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(injected.rms.mean[0]), np.asarray(injected.rms.mean[3]))

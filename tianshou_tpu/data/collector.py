@@ -264,6 +264,7 @@ class DeviceCollector:
         chunk_steps: int = 128,
         training: bool = False,
         max_chunks: int = 100,
+        rms=None,
     ) -> CollectStats:
         """Collect exactly ``n_episodes`` finished episodes (test phase).
 
@@ -275,6 +276,14 @@ class DeviceCollector:
         """
         key, rk = jax.random.split(key)
         cstate = self.reset(rk)
+        if rms is not None:
+            # test envs evaluate under the TRAIN envs' pooled obs-norm
+            # statistics (reference shares one obs_rms, venv_wrappers.py:99)
+            from tianshou_tpu.env.wrappers import inject_rms
+
+            cstate = cstate._replace(
+                env_state=inject_rms(self.venv.env, cstate.env_state, rms)
+            )
         E = self.venv.num_envs
         sig = (chunk_steps, training)
         if not hasattr(self, "_collect_ep_jit"):

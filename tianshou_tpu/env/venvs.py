@@ -23,7 +23,7 @@ from typing import Any
 import cloudpickle
 import numpy as np
 
-__all__ = ["EnvWorker", "DummyEnvWorker", "SubprocEnvWorker", "BaseVectorEnv", "DummyVectorEnv", "SubprocVectorEnv"]
+__all__ = ["EnvWorker", "DummyEnvWorker", "SubprocEnvWorker", "BaseVectorEnv", "DummyVectorEnv", "SubprocVectorEnv", "VectorEnvNormObs"]
 
 GYM_RESERVED_KEYS = ("metadata", "reward_range", "spec", "action_space", "observation_space")
 
@@ -345,3 +345,46 @@ class SubprocVectorEnv(BaseVectorEnv):
 
     def __init__(self, env_fns, **kwargs) -> None:
         super().__init__(env_fns, SubprocEnvWorker, **kwargs)
+
+
+class VectorEnvNormObs:
+    """Host venv wrapper normalizing observations with ONE shared
+    RunningMeanStd (reference venv_wrappers.py:69 VectorEnvNormObs):
+    update on train steps, freeze for test via ``set_obs_rms`` +
+    ``update_obs_rms=False``."""
+
+    def __init__(self, venv, update_obs_rms: bool = True) -> None:
+        from tianshou_tpu.utils.statistics import RunningMeanStd
+
+        self.venv = venv
+        self.update_obs_rms = update_obs_rms
+        self.obs_rms = RunningMeanStd()
+
+    # delegation -----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.venv)
+
+    def __getattr__(self, key):
+        return getattr(self.venv, key)
+
+    def get_obs_rms(self):
+        return self.obs_rms
+
+    def set_obs_rms(self, obs_rms) -> None:
+        self.obs_rms = obs_rms
+
+    # stepping -------------------------------------------------------------
+    def _norm(self, obs):
+        if isinstance(obs, np.ndarray) and obs.dtype != object:
+            if self.update_obs_rms:
+                self.obs_rms.update(obs)
+            return self.obs_rms.norm(obs).astype(np.float32)
+        return obs
+
+    def reset(self, id=None, **kwargs):
+        obs, info = self.venv.reset(id=id, **kwargs)
+        return self._norm(obs), info
+
+    def step(self, action, id=None):
+        obs, rew, term, trunc, info = self.venv.step(action, id=id)
+        return self._norm(obs), rew, term, trunc, info

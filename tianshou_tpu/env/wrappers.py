@@ -17,7 +17,10 @@ import numpy as np
 
 from tianshou_tpu.env.core import Box, Discrete, Env, EnvStep, MultiDiscrete
 
-__all__ = ["ContinuousToDiscrete", "MultiDiscreteToDiscrete", "TruncatedAsTerminated", "NormObs"]
+__all__ = [
+    "ContinuousToDiscrete", "MultiDiscreteToDiscrete", "TruncatedAsTerminated",
+    "FrameStack", "NormObs", "RMSState", "merge_rms", "extract_pooled_rms", "inject_rms",
+]
 
 
 class ContinuousToDiscrete(Env):
@@ -168,3 +171,62 @@ class NormObs(Env):
     def carry_through_reset(self, old_state: NormObsState, reset_state: NormObsState) -> NormObsState:
         # obs-norm statistics persist across episode boundaries
         return NormObsState(reset_state.inner, old_state.rms)
+
+
+def merge_rms(rms: RMSState) -> RMSState:
+    """Pool per-env running statistics (leading env axis) into one global
+    RMSState via parallel Welford merging — the shared-obs_rms semantics of
+    the reference (venv_wrappers.py:99 updates ONE RunningMeanStd from all
+    envs' observations)."""
+    counts = rms.count  # [E]
+    total = counts.sum()
+    w = counts / total
+    mean = (w[:, None] * rms.mean.reshape(counts.shape[0], -1)).sum(0).reshape(rms.mean.shape[1:])
+    # law of total variance: E[var] + Var[mean]
+    var_within = (w[:, None] * rms.var.reshape(counts.shape[0], -1)).sum(0)
+    d = rms.mean.reshape(counts.shape[0], -1) - mean.reshape(1, -1)
+    var_between = (w[:, None] * d * d).sum(0)
+    var = (var_within + var_between).reshape(rms.var.shape[1:])
+    return RMSState(mean, var, total)
+
+
+def extract_pooled_rms(env, env_state) -> "RMSState | None":
+    """If ``env`` is (a wrapper chain containing) NormObs, pool the
+    per-env rms out of a VECTORIZED env state; else None."""
+    e, s_path = env, []
+    while not isinstance(e, NormObs):
+        if not hasattr(e, "env"):
+            return None
+        s_path.append(e)
+        e = e.env
+    # NormObsState sits at the level where NormObs produced it
+    state = env_state
+    for _ in s_path:
+        state = state.inner if hasattr(state, "inner") else state[0]
+    assert isinstance(state, NormObsState), type(state)
+    return merge_rms(state.rms)
+
+
+def inject_rms(env, env_state, rms: RMSState):
+    """Broadcast a pooled rms into every env slot of a VECTORIZED env state
+    (the reference's frozen shared obs_rms handed to test envs)."""
+    e = env
+    while not isinstance(e, NormObs):
+        if not hasattr(e, "env"):
+            return env_state
+        e = e.env
+
+    def _walk(state):
+        if isinstance(state, NormObsState):
+            E = state.rms.count.shape[0]
+            batched = RMSState(
+                jnp.broadcast_to(rms.mean, (E,) + rms.mean.shape),
+                jnp.broadcast_to(rms.var, (E,) + rms.var.shape),
+                jnp.broadcast_to(rms.count, (E,)),
+            )
+            return NormObsState(state.inner, batched)
+        if hasattr(state, "inner"):
+            return state._replace(inner=_walk(state.inner))
+        return state
+
+    return _walk(env_state)

@@ -196,11 +196,21 @@ class _TrainerBase:
             self.params.logger.save_data(epoch, self.env_step, self.gradient_step)
 
     # ------------------------------------------------------------------
-    def _test(self, ts, test_collector: DeviceCollector, key) -> CollectStats:
+    def _test(self, ts, test_collector: DeviceCollector, key, train_collector=None) -> CollectStats:
         p = self.params
         if p.test_fn is not None:
             ts = self._apply_hparams(ts, p.test_fn(self._epoch, self.env_step))
-        return test_collector.collect_episodes(ts, key, p.test_step_num_episodes, training=False)
+        rms = None
+        if train_collector is not None and getattr(self, "_train_cstate", None) is not None:
+            # hand the train envs' pooled obs-norm stats to the test envs
+            from tianshou_tpu.env.wrappers import extract_pooled_rms
+
+            rms = extract_pooled_rms(
+                train_collector.venv.env, self._train_cstate.env_state
+            )
+        return test_collector.collect_episodes(
+            ts, key, p.test_step_num_episodes, training=False, rms=rms
+        )
 
     def _apply_hparams(self, ts, overrides: dict | None):
         if not overrides:
@@ -331,10 +341,12 @@ class OffPolicyTrainer(_TrainerBase):
                 upd_stats = None
                 if p.fused_megastep:
                     ts, cstate, buf_state, out, upd_stats = megastep_fn(ts, cstate, buf_state, k)
+                    self._train_cstate = cstate
                     jax.block_until_ready(out.done)
                     self.gradient_step += n_updates
                 else:
                     cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                    self._train_cstate = cstate
                     jax.block_until_ready(out.done)
                 collect_time += time.time() - tc
                 self._validate_collect(out)
@@ -365,7 +377,7 @@ class OffPolicyTrainer(_TrainerBase):
                 ):
                     key, k = _split_host(key)
                     self._ts = ts
-                    test_stats = self._test(ts, self.test_collector, k)
+                    test_stats = self._test(ts, self.test_collector, k, self.train_collector)
                     self._epoch = epoch
                     if self._log_test(test_stats, epoch):
                         return self._result(epoch, t0, collect_time, update_time, test_time, ts, buf_state)
@@ -381,7 +393,7 @@ class OffPolicyTrainer(_TrainerBase):
             pbar.close()
             tt = time.time()
             key, k = _split_host(key)
-            test_stats = self._test(ts, self.test_collector, k)
+            test_stats = self._test(ts, self.test_collector, k, self.train_collector)
             test_time += time.time() - tt
             stop = self._log_test(test_stats, epoch)
             self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
@@ -454,6 +466,7 @@ class OnPolicyTrainer(_TrainerBase):
                 cstate, _, out = self.train_collector.collect(
                     ts, cstate, None, k, T, training=True, keep_rollout=True
                 )
+                self._train_cstate = cstate
                 jax.block_until_ready(out.done)
                 collect_time += time.time() - tc
                 self._validate_collect(out)
@@ -482,7 +495,7 @@ class OnPolicyTrainer(_TrainerBase):
                 ):
                     key, k = _split_host(key)
                     self._ts = ts
-                    test_stats = self._test(ts, self.test_collector, k)
+                    test_stats = self._test(ts, self.test_collector, k, self.train_collector)
                     self._epoch = epoch
                     if self._log_test(test_stats, epoch):
                         pbar.close()
@@ -498,7 +511,7 @@ class OnPolicyTrainer(_TrainerBase):
             pbar.close()
             key, k = _split_host(key)
             tt = time.time()
-            test_stats = self._test(ts, self.test_collector, k)
+            test_stats = self._test(ts, self.test_collector, k, self.train_collector)
             test_time += time.time() - tt
             stop = self._log_test(test_stats, epoch)
             self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
