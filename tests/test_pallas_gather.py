@@ -32,7 +32,7 @@ def test_gather_rows_small_rows_fall_back():
 @pytest.mark.skipif(jax.default_backend() == "cpu", reason="pallas TPU kernel")
 def test_gather_rows_kernel_bit_exact_tpu():
     rng = np.random.default_rng(1)
-    src = jnp.asarray(rng.integers(0, 255, (1024, 7056), dtype=np.uint8))
+    src = jnp.asarray(rng.integers(0, 255, (1024, 7168), dtype=np.uint8))
     idx = jnp.asarray(rng.integers(0, 1024, 128, dtype=np.int32))
     out = gather_rows(src, idx)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(src)[np.asarray(idx)])
