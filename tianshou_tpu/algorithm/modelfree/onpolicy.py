@@ -64,12 +64,21 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         params = {"actor": self.actor.init(k1, obs)}
         if self.critic is not None:
             params["critic"] = self.critic.init(k2, obs)
+        extra = Batch()
+        if self.return_standardization:
+            # running return statistics (reference A2C ret_rms, a2c.py:112;
+            # reinforce.py DiscountedReturnComputation)
+            extra = Batch(
+                ret_mean=jnp.float32(0.0),
+                ret_var=jnp.float32(1.0),
+                ret_count=jnp.float32(1e-4),
+            )
         return TrainState(
             params=params,
             target_params={},
             opt_state=self.optim.init(params),
             hparams=Batch(),
-            extra=Batch(),
+            extra=extra,
             step=jnp.int32(0),
         )
 
@@ -123,20 +132,41 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         if self.critic is not None:
             v_s = self._value(ts.params, obs_flat).reshape(T, E)
             v_s_ = self._value(ts.params, obs_next_flat).reshape(T, E)
-            adv = gae_advantages(rollout.rew, v_s, v_s_, term, end, self.gamma, self.gae_lambda)
-            batch.v_s = v_s.reshape(T * E)
-            batch.adv = adv.reshape(T * E)
-            batch.returns = (adv + v_s).reshape(T * E)
+            if self.return_standardization:
+                # reference return scaling (a2c.py:115-152): the critic is
+                # trained in RUNNING-std-scaled space (no mean subtraction,
+                # matching OpenAI baselines); un-scale values for GAE so
+                # deltas are consistent with raw rewards, then re-scale the
+                # targets. Stats update happens in update_rollout via
+                # batch.unnorm_returns.
+                scale = jnp.sqrt(ts.extra.ret_var + 1e-8)
+                adv = gae_advantages(
+                    rollout.rew, v_s * scale, v_s_ * scale, term, end,
+                    self.gamma, self.gae_lambda,
+                )
+                unnorm = adv + v_s * scale
+                batch.v_s = v_s.reshape(T * E)
+                batch.adv = adv.reshape(T * E)
+                batch.returns = (unnorm / scale).reshape(T * E)
+                batch.unnorm_returns = unnorm.reshape(T * E)
+            else:
+                adv = gae_advantages(rollout.rew, v_s, v_s_, term, end, self.gamma, self.gae_lambda)
+                batch.v_s = v_s.reshape(T * E)
+                batch.adv = adv.reshape(T * E)
+                batch.returns = (adv + v_s).reshape(T * E)
         else:
             from tianshou_tpu.ops.returns import mc_return_to_go
 
             ret = mc_return_to_go(rollout.rew, self.gamma, end)
             batch.returns = ret.reshape(T * E)
             batch.adv = batch.returns
-        if self.return_standardization:
-            r = batch.returns
-            batch.returns = (r - r.mean()) / (r.std() + 1e-8)
-            if self.critic is None:
+            if self.return_standardization:
+                # REINFORCE standardizes with the running statistics
+                # (reference reinforce.py:249 DiscountedReturnComputation)
+                r = batch.returns
+                std = jnp.sqrt(ts.extra.ret_var + 1e-8)
+                batch.unnorm_returns = r
+                batch.returns = (r - ts.extra.ret_mean) / std
                 batch.adv = batch.returns
         # old log-probs + dist params for ratio/KL methods
         # (reference ppo.py:157 logp_old; npg.py dist_old)
@@ -168,6 +198,23 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         ts = ts.replace(params=new_params, opt_state=new_opt, step=ts.step + 1)
         return ts, stats
 
+    def update_return_stats(self, ts: TrainState, batch: Batch) -> TrainState:
+        """Parallel-Welford merge of the rollout's unnormalized returns
+        into the running statistics (reference ret_rms.update, a2c.py:149);
+        pops ``unnorm_returns`` off the batch."""
+        if "unnorm_returns" not in batch:
+            return ts
+        x = batch.pop("unnorm_returns")
+        m, v, c = ts.extra.ret_mean, ts.extra.ret_var, ts.extra.ret_count
+        bm, bv, bc = x.mean(), x.var(), jnp.float32(x.shape[0])
+        delta = bm - m
+        tot = c + bc
+        new_mean = m + delta * bc / tot
+        m2 = v * c + bv * bc + delta * delta * c * bc / tot
+        extra = ts.extra.copy()
+        extra.ret_mean, extra.ret_var, extra.ret_count = new_mean, m2 / tot, tot
+        return ts.replace(extra=extra)
+
     def update_rollout(
         self, ts: TrainState, rollout: Batch, key: jax.Array, repeat: int, batch_size: int
     ) -> tuple[TrainState, Batch]:
@@ -175,6 +222,7 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         (reference OnPolicyAlgorithm.update + PPO._update_with_batch)."""
         k_proc, k_loop = jax.random.split(key)
         batch = self.process_rollout(ts, rollout, k_proc)
+        ts = self.update_return_stats(ts, batch)
         return self.run_minibatch_updates(ts, batch, k_loop, repeat, batch_size)
 
     def run_minibatch_updates(

@@ -52,6 +52,7 @@ class PPO(A2C):
 
         key, k_first = jax.random.split(key)
         batch = self.process_rollout(ts, rollout, k_first)
+        ts = self.update_return_stats(ts, batch)
         stats = None
         for r in range(repeat):
             key, k_proc, k_loop = jax.random.split(key, 3)
@@ -60,6 +61,7 @@ class PPO(A2C):
                 # dist_old stay from the COLLECTION-time policy (reference
                 # ppo.py:152-177 recomputes only the advantage quantities)
                 fresh = self.process_rollout(ts, rollout, k_proc)
+                ts = self.update_return_stats(ts, fresh)
                 batch.v_s = fresh.v_s
                 batch.adv = fresh.adv
                 batch.returns = fresh.returns

@@ -120,6 +120,7 @@ class MultiAgentOnPolicyAlgorithm:
             r = rollout.copy()
             r.rew = rollout.rew[..., i]  # per-agent reward column (marl.py:188)
             batch = algo.process_rollout(ts[f"agent{i}"], r, k_proc)
+            ts[f"agent{i}"] = algo.update_return_stats(ts[f"agent{i}"], batch)
             is_mine = (rollout.obs.agent_id == i).reshape(batch.adv.shape).astype(jnp.float32)
             batch.adv = batch.adv * is_mine
             sub_ts, sub_stats = algo.run_minibatch_updates(
