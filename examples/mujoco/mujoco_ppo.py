@@ -54,7 +54,11 @@ def train(
     env = NormObs(make(task))
     nu = env.action_space.shape[0]
     obs_dim = env.observation_space.shape[0]
-    total_updates = max(1, epochs * epoch_num_steps // (num_envs * rollout_len)) * repeat
+    # schedule horizon = MINIBATCH gradient steps (optax steps the schedule
+    # per optimizer update): rollouts x repeat x minibatches-per-pass
+    n_rollouts = max(1, epochs * epoch_num_steps // (num_envs * rollout_len))
+    n_minibatches = max(1, (num_envs * rollout_len) // batch_size)
+    total_updates = n_rollouts * repeat * n_minibatches
     sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
     algo = PPO(
         # reference init recipe (mujoco_ppo.py:109-120): tanh nets,
@@ -110,7 +114,9 @@ def train_host(task="HalfCheetah", seed=0, epochs=30, epoch_num_steps=100_000,
     from tianshou_tpu.algorithm.optim import AdamOptimizerFactory, linear_lr_schedule
     from tianshou_tpu.models.continuous import ContinuousActorProbabilistic, ContinuousCritic
 
-    total_updates = max(1, epochs * epoch_num_steps // (num_envs * rollout_len)) * repeat
+    n_rollouts = max(1, epochs * epoch_num_steps // (num_envs * rollout_len))
+    n_minibatches = max(1, (num_envs * rollout_len) // batch_size)
+    total_updates = n_rollouts * repeat * n_minibatches
     sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
 
     def make_algo(env):

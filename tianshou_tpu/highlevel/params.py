@@ -100,7 +100,10 @@ class LRSchedulerFactoryLinear:
             collects = max(
                 1, training.max_epochs * training.epoch_num_steps // max(steps_per_collect, 1)
             )
-            total = collects * max(getattr(training, "update_step_num_repetitions", 1), 1)
+            # horizon in MINIBATCH gradient steps — optax steps the schedule
+            # once per optimizer update, not per rollout
+            n_mb = max(1, steps_per_collect // max(getattr(training, "batch_size", steps_per_collect), 1))
+            total = collects * max(getattr(training, "update_step_num_repetitions", 1), 1) * n_mb
         return linear_lr_schedule(lr, total)
 
 
