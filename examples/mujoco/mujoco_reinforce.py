@@ -15,7 +15,7 @@ def make_algo(env):
 
     nu = env.action_space.shape[0]
     return Reinforce(
-        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=nu),
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=nu, ppo_init=True),
         action_space=env.action_space,
         optim=AdamOptimizerFactory(lr=1e-3),
         gamma=0.99, return_standardization=True,

@@ -14,8 +14,8 @@ def make_algo(env):
 
     nu = env.action_space.shape[0]
     return TRPO(
-        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=nu),
-        critic=ContinuousCritic(hidden_sizes=(64, 64), use_action=False),
+        actor=ContinuousActorProbabilistic(hidden_sizes=(64, 64), action_dim=nu, ppo_init=True),
+        critic=ContinuousCritic(hidden_sizes=(64, 64), use_action=False, ppo_init=True),
         action_space=env.action_space,
         optim=AdamOptimizerFactory(lr=1e-3),
         gamma=0.99, gae_lambda=0.95,
