@@ -152,7 +152,8 @@ def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
 # forces
 # ---------------------------------------------------------------------------
 def _passive_joint_forces(
-    model: Model, q: jnp.ndarray, qd: jnp.ndarray, m_diag: jnp.ndarray
+    model: Model, q: jnp.ndarray, qd: jnp.ndarray, m_diag: jnp.ndarray,
+    include_limits: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint springs + limit penalty springs, and the joint-space damping
     DIAGONAL (joint damping + limit damping) to be integrated implicitly —
@@ -172,6 +173,9 @@ def _passive_joint_forces(
         if j.limited:
             lo[j.q_idx], hi[j.q_idx] = j.range
     tau = -jnp.asarray(stiffness) * (q - jnp.asarray(springref))
+    if not include_limits:
+        # constraint mode: limits are rows in the soft-constraint solver
+        return tau, jnp.asarray(damping)
     # limits: penalty spring with per-dof gains scaled by the joint's own
     # inertia (MuJoCo solreflimit=(0.02, 1) critically damped analogue)
     omega_l = 2.0 / 0.02
@@ -185,10 +189,14 @@ def _passive_joint_forces(
     return tau, D
 
 
-def _external_forces(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
-    """Generalized forces from plane contacts + ambient fluid, via ONE vjp
-    of FK with world-frame forces/torques as cotangents."""
-    nc = len(model.contact_radius)
+def _external_forces(
+    model: Model, q: jnp.ndarray, qd: jnp.ndarray, include_contacts: bool = True
+) -> jnp.ndarray:
+    """Generalized forces from plane contacts (penalty model) + ambient
+    fluid, via ONE vjp of FK with world-frame forces/torques as cotangents.
+    ``include_contacts=False`` gives the fluid-only part (the constraint
+    contact model handles contacts separately)."""
+    nc = len(model.contact_radius) if include_contacts else 0
     has_fluid = model.fluid_density > 0 or model.fluid_viscosity > 0
     if nc == 0 and not has_fluid:
         return jnp.zeros(model.nq)
@@ -220,9 +228,11 @@ def _external_forces(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarr
         # equivalent inertia box (MuJoCo legacy fluid model)
         m = np.maximum(model.body_mass, 1e-9)
         diag = np.einsum("bii->bi", model.body_inertia)
+        # MuJoCo equivalent inertia box (engine_passive.c mj_inertiaBoxFluid):
+        # box_x^2 = 6*(I_y + I_z - I_x)/m  (FULL edge length squared)
         box2 = np.maximum(
-            6.0 / m[:, None] * (diag.sum(1, keepdims=True) - 2 * diag) / 2.0, 1e-8
-        )  # (2*half_size)^2 per axis
+            6.0 / m[:, None] * (diag.sum(1, keepdims=True) - 2 * diag), 1e-8
+        )
         box = np.sqrt(box2)  # full edge lengths
         half = jnp.asarray(box / 2.0)
         v_l = jnp.einsum("bji,bj->bi", R, vcom)  # world -> body
@@ -277,6 +287,155 @@ def _external_forces(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarr
     return tau
 
 
+def _impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """MuJoCo position-dependent impedance d(r) (Computation docs):
+    two-piece power sigmoid from d0 to dmax over |pos|/width."""
+    d0, dmax, width, mid, power = (solimp[:, i] for i in range(5))
+    x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+    lo = mid * (x / mid) ** power
+    hi = 1.0 - (1.0 - mid) * ((1.0 - x) / (1.0 - mid)) ** power
+    s = jnp.where(x < mid, lo, hi)
+    return jnp.clip(d0 + s * (dmax - d0), 1e-4, 0.9999)
+
+
+def _sol_kb(solref: jnp.ndarray, solimp: jnp.ndarray, pos: jnp.ndarray):
+    """(d, k, b) from solref/solimp at violation pos (MuJoCo Computation
+    chapter; validated against mjData.efc_aref/efc_R)."""
+    d = _impedance(solimp, pos)
+    tau_c, zeta = solref[:, 0], solref[:, 1]
+    dmax = solimp[:, 1]
+    k = d / (dmax * dmax * tau_c * tau_c * zeta * zeta)
+    b = 2.0 / (dmax * tau_c)
+    return d, k, b
+
+
+def _contact_forces_constraint(
+    model: Model, q: jnp.ndarray, qd: jnp.ndarray, f_free: jnp.ndarray, M: jnp.ndarray
+) -> jnp.ndarray:
+    """Generalized constraint force (plane contacts + joint limits) from
+    MuJoCo's soft-constraint model.
+
+    Solves the regularized dual QP  min_{lam>=0} 1/2 lam^T (A+R) lam +
+    lam^T (a0 - aref)  with contacts in the PYRAMIDAL facet basis (rows
+    n +- mu t, the MuJoCo default cone) and one row per violated joint
+    limit, where A = J M^-1 J^T, aref = -b v - k pos with k, b from
+    solref and impedance d from solimp, R_ii = (1-d)/d A_ii for limits
+    and (1-d)/d * 2 muc^2 (1+muc^2) A_nn (muc = max(mu,1)) for pyramid
+    rows — both reverse-engineered from and validated against
+    mjData.efc_* / qfrc_constraint (tests/test_physics_contact.py).
+
+    TPU-native shape: all candidate rows are computed every substep with
+    inactive rows masked (static shapes), and the QP is solved with a
+    fixed-iteration accelerated projected gradient (APGD) — fully
+    vectorized, no data-dependent control flow, batched over envs by the
+    caller's vmap."""
+    nc = len(model.contact_radius)
+    nl = len(model.limit_q_idx)
+    chol = jax.scipy.linalg.cho_factor(M)
+    qdd0 = jax.scipy.linalg.cho_solve(chol, f_free)
+
+    J_rows, vel_rows, bias_rows, aref_rows, act_rows, R_rows = [], [], [], [], [], []
+
+    if nc:
+        cb = jnp.asarray(model.contact_body)
+        e = jnp.asarray(model.contact_offset - model.body_com[model.contact_body])
+
+        def xc(q_):
+            pcom, R = _fk_com(model, q_)
+            return pcom[cb] + jnp.einsum("cij,cj->ci", R[cb], e)
+
+        x, v = jax.jvp(xc, (q,), (qd,))
+        J = jax.jacfwd(xc)(q)  # [nc, 3, nq]
+        # contact-point acceleration bias (Jdot qd)
+        _, a_bias = jax.jvp(lambda q_: jax.jvp(xc, (q_,), (qd,))[1], (q,), (qd,))
+
+        radius = jnp.asarray(model.contact_radius)
+        margin = jnp.asarray(model.contact_margin)
+        dist = x[:, 2] - radius
+        pos = dist - margin            # < 0 when the constraint is violated
+        active = dist < margin
+
+        d, k, b = _sol_kb(
+            jnp.asarray(model.contact_solref), jnp.asarray(model.contact_solimp), pos
+        )
+
+        # pyramidal facets: rows (z + s*mu*x), (z + s*mu*y), s in {+1,-1}
+        mu = jnp.asarray(model.contact_friction)
+        sgn = jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])  # [4,2]
+        tan = sgn[None, :, 0, None] * J[:, None, 0, :] + sgn[None, :, 1, None] * J[:, None, 1, :]
+        Jf = J[:, None, 2, :] + mu[:, None, None] * tan        # [nc, 4, nq]
+        vt = sgn[None, :, 0] * v[:, None, 0] + sgn[None, :, 1] * v[:, None, 1]
+        vel_f = v[:, None, 2] + mu[:, None] * vt               # [nc, 4]
+        bt = sgn[None, :, 0] * a_bias[:, None, 0] + sgn[None, :, 1] * a_bias[:, None, 1]
+        bias_f = a_bias[:, None, 2] + mu[:, None] * bt         # [nc, 4]
+
+        Jn = J[:, 2, :] * active[:, None]                      # [nc, nq]
+        A_nn = jnp.sum(Jn * jax.scipy.linalg.cho_solve(chol, Jn.T).T, axis=1)
+        muc = jnp.maximum(mu, 1.0)
+        R_c = (1.0 - d) / d * 2.0 * muc * muc * (1.0 + muc * muc) * A_nn
+
+        J_rows.append((Jf * active[:, None, None]).reshape(nc * 4, model.nq))
+        vel_rows.append(vel_f.reshape(-1))
+        bias_rows.append((bias_f * active[:, None]).reshape(-1))
+        aref_rows.append((-b[:, None] * vel_f - k[:, None] * pos[:, None]).reshape(-1))
+        act_rows.append(jnp.repeat(active, 4))
+        R_rows.append(jnp.repeat(R_c, 4))
+
+    if nl:
+        li = jnp.asarray(model.limit_q_idx)
+        lo = jnp.asarray(model.limit_range)[:, 0]
+        hi = jnp.asarray(model.limit_range)[:, 1]
+        d_lo = q[li] - lo
+        d_hi = hi - q[li]
+        side = jnp.where(d_lo < d_hi, 1.0, -1.0)     # +1: lower limit row
+        dist_l = jnp.minimum(d_lo, d_hi)
+        active_l = dist_l < 0.0                       # limits have no margin
+        d_l, k_l, b_l = _sol_kb(
+            jnp.asarray(model.limit_solref), jnp.asarray(model.limit_solimp), dist_l
+        )
+        Jl = side[:, None] * jax.nn.one_hot(li, model.nq, dtype=q.dtype)
+        Jl = Jl * active_l[:, None]
+        vel_l = side * qd[li]
+        Minv_diag = jnp.diagonal(jax.scipy.linalg.cho_solve(chol, jnp.eye(model.nq, dtype=q.dtype)))
+        R_l = (1.0 - d_l) / d_l * Minv_diag[li]
+
+        J_rows.append(Jl)
+        vel_rows.append(vel_l)
+        bias_rows.append(jnp.zeros(nl, q.dtype))
+        aref_rows.append(-b_l * vel_l - k_l * dist_l)
+        act_rows.append(active_l)
+        R_rows.append(R_l)
+
+    Jr = jnp.concatenate(J_rows, axis=0)
+    act = jnp.concatenate(act_rows)
+    aref = jnp.concatenate(aref_rows) * act
+    bias = jnp.concatenate(bias_rows)
+    Rreg = jnp.maximum(jnp.concatenate(R_rows), 1e-10)
+
+    a0 = Jr @ qdd0 + bias
+    MinvJT = jax.scipy.linalg.cho_solve(chol, Jr.T)        # [nq, nr]
+    A = Jr @ MinvJT                                        # [nr, nr]
+    g0 = a0 - aref
+
+    # APGD with Gershgorin step bound (deterministic, fixed iterations)
+    L = jnp.max(jnp.sum(jnp.abs(A), axis=1) + Rreg) + 1e-8
+
+    def body(carry, _):
+        lam, y, t = carry
+        grad = A @ y + Rreg * y + g0
+        lam_new = jnp.maximum(y - grad / L, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = lam_new + (t - 1.0) / t_new * (lam_new - lam)
+        return (lam_new, y_new, t_new), None
+
+    lam0 = jnp.zeros(Jr.shape[0], q.dtype)
+    (lam, _, _), _ = jax.lax.scan(
+        body, (lam0, lam0, jnp.asarray(1.0, q.dtype)), None,
+        length=int(getattr(model, "contact_iterations", 30)),
+    )
+    return Jr.T @ lam
+
+
 def _hat_batch(v: jnp.ndarray) -> jnp.ndarray:
     z = jnp.zeros_like(v[:, 0])
     return jnp.stack(
@@ -316,14 +475,26 @@ def bias_force(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
 def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray, dt: float):
     M = mass_matrix(model, q)
     m_diag = jnp.diagonal(M)
-    tau_p, D = _passive_joint_forces(model, q, qd, m_diag)
+    use_constraint = getattr(model, "contact_model", "penalty") == "constraint" and (
+        len(model.contact_radius) > 0 or len(model.limit_q_idx) > 0
+    )
+    tau_p, D = _passive_joint_forces(
+        model, q, qd, m_diag, include_limits=not use_constraint
+    )
     # grad of the Lagrangian L = T - V in ONE reverse pass (fuses the
     # Coriolis dT/dq and gravity -dV/dq terms' FK work)
     dLdq = jax.grad(lambda q_: kinetic_energy(model, q_, qd) - potential_energy(model, q_))(q)
     _, mdot_qd = jax.jvp(
         lambda q_: jax.grad(lambda qd_: kinetic_energy(model, q_, qd_))(qd), (q,), (qd,)
     )
-    f = tau_act + dLdq - mdot_qd + tau_p + _external_forces(model, q, qd)
+    f = tau_act + dLdq - mdot_qd + tau_p + _external_forces(
+        model, q, qd, include_contacts=not use_constraint
+    )
+    if use_constraint:
+        # the solver's unconstrained acceleration a0 sees the damping force
+        # explicitly (as MuJoCo's does); the integrator below still applies
+        # damping implicitly, so it is NOT added to f itself
+        f = f + _contact_forces_constraint(model, q, qd, f - D * qd, M)
     # semi-implicit Euler with IMPLICIT joint-space damping:
     # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D.
     # A is SPD (M is a mass matrix + armature, D >= 0) -> Cholesky solve.
@@ -342,7 +513,7 @@ def _rotvec_jacobian(r: jnp.ndarray) -> jnp.ndarray:
         W = Rd @ R.T
         return 0.5 * jnp.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]])
 
-    return jax.vmap(omega_of)(jnp.eye(3)).T
+    return jax.vmap(omega_of)(jnp.eye(3, dtype=r.dtype)).T
 
 
 def _remap_free_rotations(model: Model, q: jnp.ndarray, qd: jnp.ndarray):

@@ -80,6 +80,7 @@ class _Loader:
             gd = default.find("geom")
             if gd is not None:
                 self.geom_default = dict(gd.attrib)
+        self.floor: dict | None = None
         self.parent: list[int] = []
         self.body_pos: list[np.ndarray] = []
         self.body_quat: list[np.ndarray] = []
@@ -93,11 +94,28 @@ class _Loader:
         return float(np.deg2rad(v)) if self.deg else float(v)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _solparams(attr: dict) -> tuple[float, tuple, tuple]:
+        """(margin, solref, solimp) with MuJoCo defaults for missing parts."""
+        margin = float(attr.get("margin", "0"))
+        solref = _floats(attr.get("solref"), [0.02, 1.0])
+        si = _floats(attr.get("solimp"), [0.9, 0.95, 0.001])
+        solimp_full = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
+        solimp_full[: len(si)] = si
+        return margin, tuple(solref[:2]), tuple(solimp_full)
+
     def parse_geom(self, el: ET.Element, body: int) -> None:
         attr = {**self.geom_default, **el.attrib}
         gtype = attr.get("type", "sphere")
         if gtype == "plane":
-            return  # ground plane is implicit (z=0) in the dynamics
+            # ground plane is implicit (z=0) in the dynamics, but its
+            # contact-combination params matter (friction/margin/sol*)
+            margin, solref, solimp = self._solparams(attr)
+            self.floor = dict(
+                friction=float(_floats(attr.get("friction"), [1.0, 0.005, 0.0001])[0]),
+                margin=margin, solref=solref, solimp=solimp,
+            )
+            return
         fromto = _floats(attr.get("fromto"))
         size = _floats(attr.get("size"))
         if fromto is not None:
@@ -124,6 +142,7 @@ class _Loader:
         friction = _floats(attr.get("friction"), [1.0, 0.005, 0.0001])[0]
         contype = int(attr.get("contype", "1"))
         mass = float(attr["mass"]) if attr.get("mass") else None
+        margin, solref, solimp = self._solparams(attr)
         self.geoms.append(
             Geom(
                 gtype=gtype,
@@ -136,6 +155,9 @@ class _Loader:
                 mass=mass,
                 contact=contype != 0,
                 name=attr.get("name", ""),
+                margin=margin,
+                solref=solref,
+                solimp=solimp,
             )
         )
 
@@ -158,6 +180,10 @@ class _Loader:
         axis = _floats(attr.get("axis"), [0, 0, 1]).astype(float)
         axis = axis / np.linalg.norm(axis)
         limited = attr.get("limited", "true" if attr.get("range") else "false") == "true"
+        solref_l = _floats(attr.get("solreflimit"), [0.02, 1.0])
+        si_l = _floats(attr.get("solimplimit"), [0.9, 0.95, 0.001])
+        solimp_l = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
+        solimp_l[: len(si_l)] = si_l
         self.joints.append(
             Joint(
                 jtype=HINGE if jtype == "hinge" else SLIDE,
@@ -173,6 +199,8 @@ class _Loader:
                 limited=limited,
                 range=(float(rng[0]), float(rng[1])),
                 name=attr.get("name", ""),
+                solref_limit=(float(solref_l[0]), float(solref_l[1])),
+                solimp_limit=tuple(solimp_l),
             )
         )
         self.qpos0.append(ref)
@@ -243,6 +271,11 @@ class _Loader:
             fluid_density=fluid_density,
             fluid_viscosity=fluid_viscosity,
         )
+        if self.floor is not None:
+            model.floor_friction = self.floor["friction"]
+            model.floor_margin = self.floor["margin"]
+            model.floor_solref = self.floor["solref"]
+            model.floor_solimp = self.floor["solimp"]
         return model.finalize(settotalmass=self.settotalmass)
 
 

@@ -36,6 +36,9 @@ class Joint:
     limited: bool = False
     range: tuple[float, float] = (0.0, 0.0)
     name: str = ""
+    # limit-constraint solver params (joint solreflimit/solimplimit)
+    solref_limit: tuple[float, float] = (0.02, 1.0)
+    solimp_limit: tuple[float, ...] = (0.9, 0.95, 0.001, 0.5, 2.0)
 
     @property
     def size(self) -> int:
@@ -54,6 +57,10 @@ class Geom:
     mass: float | None = None   # explicit mass overrides density
     contact: bool = True    # participates in plane contacts (contype != 0)
     name: str = ""
+    # MuJoCo constraint-solver params (geom solref/solimp/margin)
+    margin: float = 0.0
+    solref: tuple[float, float] = (0.02, 1.0)
+    solimp: tuple[float, ...] = (0.9, 0.95, 0.001, 0.5, 2.0)
 
 
 @dataclasses.dataclass
@@ -94,6 +101,25 @@ class Model:
     # contact solver (critically damped penalty, MuJoCo solref-style)
     contact_stiffness: float = 0.0   # filled by finalize if 0
     contact_damping: float = 0.0
+    # soft-constraint contact model (MuJoCo solref/solimp semantics):
+    # "constraint" solves the regularized dual QP in a pyramidal facet
+    # basis per substep; "penalty" is the legacy spring-damper model
+    contact_model: str = "constraint"
+    contact_iterations: int = 30
+    # per-contact-row solver params (filled by finalize from geoms + floor)
+    contact_margin: np.ndarray | None = None
+    contact_solref: np.ndarray | None = None   # [nc, 2]
+    contact_solimp: np.ndarray | None = None   # [nc, 5]
+    # floor (plane geom) params for contact combination
+    floor_friction: float = 1.0
+    floor_margin: float = 0.0
+    floor_solref: tuple[float, float] | None = None
+    floor_solimp: tuple[float, ...] | None = None
+    # joint-limit constraint rows (filled by finalize)
+    limit_q_idx: np.ndarray | None = None     # [nl]
+    limit_range: np.ndarray | None = None     # [nl, 2]
+    limit_solref: np.ndarray | None = None    # [nl, 2]
+    limit_solimp: np.ndarray | None = None    # [nl, 5]
 
     # ------------------------------------------------------------------
     def joints_of(self, body: int) -> list[Joint]:
@@ -134,18 +160,36 @@ class Model:
             inertia *= s
         self.body_mass, self.body_com, self.body_inertia = mass, com, inertia
 
-        # contact spheres: capsule ends + sphere centers of contact geoms
+        # contact spheres: capsule ends + sphere centers of contact geoms.
+        # Per-row solver params combine geom and floor the MuJoCo way
+        # (verified against mjData.contact: friction = elementwise max,
+        # includemargin = sum of margins, solref/solimp = solmix-weighted
+        # average, 0.5/0.5 at default solmix).
+        f_solref = np.asarray(self.floor_solref if self.floor_solref is not None else (0.02, 1.0))
+        f_solimp = np.asarray(
+            self.floor_solimp if self.floor_solimp is not None else (0.9, 0.95, 0.001, 0.5, 2.0)
+        )
         rows = []
+
+        def add_row(g: Geom, off: np.ndarray, radius: float) -> None:
+            rows.append((
+                g.body, off, radius,
+                max(g.friction, self.floor_friction),
+                g.margin + self.floor_margin,
+                0.5 * (np.asarray(g.solref) + f_solref),
+                0.5 * (np.asarray(g.solimp) + f_solimp),
+            ))
+
         for g in self.geoms:
             if g.gtype == "plane" or not g.contact:
                 continue
             if g.gtype == "sphere":
-                rows.append((g.body, g.pos, g.size[0], g.friction))
+                add_row(g, g.pos, g.size[0])
             elif g.gtype in ("capsule", "cylinder"):
                 axis = g.rot[:, 2]
                 h = g.size[1]
-                rows.append((g.body, g.pos + h * axis, g.size[0], g.friction))
-                rows.append((g.body, g.pos - h * axis, g.size[0], g.friction))
+                add_row(g, g.pos + h * axis, g.size[0])
+                add_row(g, g.pos - h * axis, g.size[0])
             elif g.gtype == "box":
                 # 4 bottom + 4 top corner spheres of small radius
                 r = 0.2 * min(g.size)
@@ -153,17 +197,36 @@ class Model:
                     for sy in (-1, 1):
                         for sz in (-1, 1):
                             off = g.pos + g.rot @ (np.array([sx, sy, sz]) * (g.size - r))
-                            rows.append((g.body, off, r, g.friction))
+                            add_row(g, off, r)
         if rows:
             self.contact_body = np.array([r[0] for r in rows], np.int32)
             self.contact_offset = np.stack([r[1] for r in rows]).astype(np.float64)
             self.contact_radius = np.array([r[2] for r in rows])
             self.contact_friction = np.array([r[3] for r in rows])
+            self.contact_margin = np.array([r[4] for r in rows])
+            self.contact_solref = np.stack([r[5] for r in rows])
+            self.contact_solimp = np.stack([r[6] for r in rows])
         else:
             self.contact_body = np.zeros(0, np.int32)
             self.contact_offset = np.zeros((0, 3))
             self.contact_radius = np.zeros(0)
             self.contact_friction = np.zeros(0)
+            self.contact_margin = np.zeros(0)
+            self.contact_solref = np.zeros((0, 2))
+            self.contact_solimp = np.zeros((0, 5))
+
+        # joint-limit constraint row tables
+        lim = [j for j in self.joints if j.jtype != FREE and j.limited]
+        if lim:
+            self.limit_q_idx = np.array([j.q_idx for j in lim], np.int32)
+            self.limit_range = np.array([j.range for j in lim])
+            self.limit_solref = np.stack([np.asarray(j.solref_limit) for j in lim])
+            self.limit_solimp = np.stack([np.asarray(j.solimp_limit) for j in lim])
+        else:
+            self.limit_q_idx = np.zeros(0, np.int32)
+            self.limit_range = np.zeros((0, 2))
+            self.limit_solref = np.zeros((0, 2))
+            self.limit_solimp = np.zeros((0, 5))
 
         # critically-damped penalty gains from the MuJoCo solref default
         # (timeconst=0.02s, dampratio=1): omega = 2/timeconst, per-contact
