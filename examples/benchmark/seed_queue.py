@@ -1,0 +1,121 @@
+"""Sequential seed-run queue for the single-chip benchmark protocol.
+
+The reference's table protocol is multi-seed (max test return per trial,
+aggregated across trials — /root/reference/examples/mujoco/README.md:444).
+This runner drains job files from a queue directory one at a time (device
+runs serialize through the one TPU chip anyway), so long multi-seed
+sweeps can run unattended while jobs can be enqueued mid-flight.
+
+Job file format (JSON, one job per file, processed in sorted order)::
+
+    {"name": "td3_HalfCheetah",
+     "script": "examples/mujoco/mujoco_td3.py",
+     "kwargs": {"task": "HalfCheetah", "epochs": 50, "epoch_num_steps": 20000},
+     "seeds": [1, 2]}
+
+Each seed calls the script's ``train(seed=s, **kwargs)`` in-process (jit
+cache shared across seeds of the same config) and appends one line to the
+results JSONL.  Completed job files move to ``<queue>/done/``; failed ones
+to ``<queue>/failed/`` with the traceback alongside.
+
+Usage::
+
+    python examples/benchmark/seed_queue.py \
+        --queue examples/benchmark/queue \
+        --results examples/benchmark/results/seed_runs.jsonl \
+        --idle-timeout 900
+"""
+
+import argparse
+import importlib.util
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(_REPO))
+
+
+def _load_train(script: str):
+    path = _REPO / script
+    spec = importlib.util.spec_from_file_location(path.stem + "_queued", path)
+    mod = importlib.util.module_from_spec(spec)
+    # example scripts import their siblings (e.g. _runner) by bare name
+    sys.path.insert(0, str(path.parent))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(str(path.parent))
+    return mod.train
+
+
+def _run_job(job: dict, results_path: Path) -> None:
+    train = _load_train(job["script"])
+    kwargs = dict(job.get("kwargs", {}))
+    for seed in job["seeds"]:
+        t0 = time.time()
+        result = train(seed=seed, **kwargs)
+        dt = time.time() - t0
+        row = {
+            "name": job["name"],
+            "seed": seed,
+            "best_reward": float(result.best_reward),
+            "env_step": int(result.env_step),
+            "steps_per_s": round(int(result.env_step) / max(dt, 1e-9), 1),
+            "wall_s": round(dt, 1),
+            "kwargs": kwargs,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with results_path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"[seed_queue] {job['name']} seed={seed}: "
+              f"best={row['best_reward']:.1f} ({row['steps_per_s']:,.0f} steps/s)",
+              flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--queue", default="examples/benchmark/queue")
+    p.add_argument("--results", default="examples/benchmark/results/seed_runs.jsonl")
+    p.add_argument("--idle-timeout", type=float, default=900.0,
+                   help="exit after the queue has been empty this long (s)")
+    p.add_argument("--poll", type=float, default=15.0)
+    args = p.parse_args()
+
+    qdir = _REPO / args.queue
+    done = qdir / "done"
+    failed = qdir / "failed"
+    for d in (qdir, done, failed):
+        d.mkdir(parents=True, exist_ok=True)
+    results_path = _REPO / args.results
+    results_path.parent.mkdir(parents=True, exist_ok=True)
+
+    idle_since = time.time()
+    while True:
+        pending = sorted(f for f in qdir.glob("*.json"))
+        if not pending:
+            if time.time() - idle_since > args.idle_timeout:
+                print("[seed_queue] queue idle, exiting", flush=True)
+                return
+            time.sleep(args.poll)
+            continue
+        idle_since = time.time()
+        jobfile = pending[0]
+        try:
+            job = json.loads(jobfile.read_text())
+            print(f"[seed_queue] start {jobfile.name}: {job['name']} seeds={job['seeds']}",
+                  flush=True)
+            _run_job(job, results_path)
+            jobfile.rename(done / jobfile.name)
+        except Exception:
+            tb = traceback.format_exc()
+            print(f"[seed_queue] FAILED {jobfile.name}\n{tb}", flush=True)
+            (failed / (jobfile.stem + ".traceback.txt")).write_text(tb)
+            jobfile.rename(failed / jobfile.name)
+        idle_since = time.time()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ from tianshou_tpu.trainer.trainer import OnPolicyTrainer, OnPolicyTrainerParams
 if __name__ == "__main__":
     key = jax.random.key(0)
     env, data, dstate, _, _ = gather_pendulum(key)
-    n = int(np.sum(np.asarray(dstate.sizes))) if hasattr(dstate, "sizes") else 16_000
+    n = int(np.sum(np.asarray(dstate.size)))
     flat = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), dstate.data)
     expert_obs, expert_act = flat.obs[:n], flat.act[:n]
 

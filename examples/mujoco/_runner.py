@@ -71,13 +71,20 @@ def run_onpolicy(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
     from tianshou_tpu.trainer.trainer import OnPolicyTrainer, OnPolicyTrainerParams
 
     env = build_env(task, norm_obs=norm_obs)
+    # test envs evaluate under FROZEN train obs-norm statistics (reference
+    # VectorEnvNormObs(update_obs_rms=False) sharing the train rms)
+    test_env = env
+    if norm_obs:
+        from tianshou_tpu.env.wrappers import NormObs
+
+        test_env = NormObs(env.env, update_stats=False)
     obs_dim = env.observation_space.shape[0]
     algo = make_algo(env)
     key = jax.random.key(seed)
     key, k = jax.random.split(key)
     ts = algo.init(k, jnp.zeros(obs_dim))
     train_c = DeviceCollector(VectorDeviceEnv(env, num_envs), algo, None)
-    test_c = DeviceCollector(VectorDeviceEnv(env, max(test_episodes, 10)), algo, None)
+    test_c = DeviceCollector(VectorDeviceEnv(test_env, max(test_episodes, 10)), algo, None)
     params = OnPolicyTrainerParams(
         max_epochs=epochs, epoch_num_steps=epoch_num_steps,
         test_step_num_episodes=test_episodes, batch_size=batch_size,
@@ -120,17 +127,22 @@ def onpolicy_argparser(**defaults) -> argparse.ArgumentParser:
 def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
                        batch_size, start_steps, buffer_size=1_000_000,
                        chunk_len=8, update_per_step=1.0, test_episodes=10,
-                       verbose=True, logger=None):
+                       verbose=True, logger=None, pipelined=False):
     """Same protocol as :func:`run_offpolicy` but on the REAL Gymnasium
     MuJoCo envs (requires the ``mujoco`` package) through the host
-    collector — the exact benchmark environment of the reference tables."""
+    collector — the exact benchmark environment of the reference tables.
+
+    ``pipelined=True`` uses subprocess env workers with the two-phase
+    :class:`PipelinedHostCollector`, overlapping device policy compute
+    with host env stepping."""
     import gymnasium as gym
 
     from tianshou_tpu.data.batch import Batch
     from tianshou_tpu.data.buffer.base import VectorReplayBuffer
     from tianshou_tpu.data.host_collector import HostCollector
+    from tianshou_tpu.data.pipelined_collector import PipelinedHostCollector
     from tianshou_tpu.env.core import Box
-    from tianshou_tpu.env.venvs import DummyVectorEnv
+    from tianshou_tpu.env.venvs import DummyVectorEnv, SubprocVectorEnv
     from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer, OffPolicyTrainerParams
 
     gym_id = f"{task}-v4"
@@ -153,7 +165,12 @@ def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
         obs=jnp.zeros(obs_dim), act=jnp.zeros(nu), rew=jnp.float32(0),
         terminated=jnp.bool_(False), truncated=jnp.bool_(False), obs_next=jnp.zeros(obs_dim),
     ))
-    tc = HostCollector(DummyVectorEnv([make for _ in range(num_envs)]), algo, buffer)
+    if pipelined:
+        tc = PipelinedHostCollector(
+            SubprocVectorEnv([make for _ in range(num_envs)]), algo, buffer
+        )
+    else:
+        tc = HostCollector(DummyVectorEnv([make for _ in range(num_envs)]), algo, buffer)
     ec = HostCollector(DummyVectorEnv([make for _ in range(test_episodes)]), algo, None)
     params = OffPolicyTrainerParams(
         max_epochs=epochs, epoch_num_steps=epoch_num_steps,

@@ -37,6 +37,7 @@ def train(
     lr_decay: bool = True,
     gamma: float = 0.99,
     gae_lambda: float = 0.95,
+    target_kl: float | None = 0.015,
     hidden: tuple = (64, 64),
     test_episodes: int = 10,
     logger=None,
@@ -78,12 +79,15 @@ def train(
         ent_coef=0.0,
         action_bound_method="clip",
         deterministic_eval=True,
+        target_kl=target_kl,
     )
     key = jax.random.key(seed)
     key, k = jax.random.split(key)
     ts = algo.init(k, jnp.zeros(obs_dim))
     train_c = DeviceCollector(VectorDeviceEnv(env, num_envs), algo, None)
-    test_c = DeviceCollector(VectorDeviceEnv(env, max(test_episodes, 10)), algo, None)
+    # frozen obs-norm stats on test (reference update_obs_rms=False)
+    test_env = NormObs(env.env, update_stats=False)
+    test_c = DeviceCollector(VectorDeviceEnv(test_env, max(test_episodes, 10)), algo, None)
     params = OnPolicyTrainerParams(
         max_epochs=epochs,
         epoch_num_steps=epoch_num_steps,

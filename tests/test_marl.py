@@ -158,3 +158,56 @@ def test_marl_onpolicy_selfplay_beats_random():
     envs.close()
     eval_envs.close()
     assert wins >= 0.6, f"win rate {wins}"
+
+
+def test_marl_offpolicy_nstep_targets_hand_computed():
+    """MARL off-policy updates must route through each agent's OWN
+    preprocess: with n_step_return_horizon=3 and an episode that ends
+    within the chain, the target equals the hand-computed discounted
+    reward sum of the agent's reward column (VERDICT r2 item 7)."""
+    gamma = 0.9
+    algo = DQN(
+        model=BoardQNet(), action_space=Discrete(9),
+        optim=AdamOptimizerFactory(lr=1e-3),
+        gamma=gamma, n_step_return_horizon=3, target_update_freq=200,
+    )
+    marl = MultiAgentOffPolicyAlgorithm([algo, make_dqn()], action_space=Discrete(9))
+    key = jax.random.key(0)
+    ts = marl.init(key, obs_example())
+
+    buf = VectorReplayBuffer(total_size=16, buffer_num=1)
+    ex = Batch(
+        obs=obs_example(), act=jnp.int32(0), rew=jnp.zeros(2, jnp.float32),
+        terminated=jnp.bool_(False), truncated=jnp.bool_(False),
+        obs_next=obs_example(),
+    )
+    state = buf.init(ex)
+    # 3-step episode: agent-0 rewards 1, 2, 4; terminal at the last step
+    rews = [(1.0, -1.0), (2.0, -2.0), (4.0, -4.0)]
+    for t, (r0, r1) in enumerate(rews):
+        tr = ex.copy()
+        tr.rew = jnp.array([[r0, r1]], jnp.float32)
+        tr.act = jnp.array([t], jnp.int32)
+        tr.terminated = jnp.array([t == 2])
+        tr.truncated = jnp.array([False])
+        tr.obs = Batch(agent_id=jnp.zeros((1,), jnp.int32),
+                       obs=jnp.zeros((1, 3, 3, 2)), mask=jnp.ones((1, 9), bool))
+        tr.obs_next = tr.obs
+        state, _ = buf.add(state, tr)
+
+    # preprocess through the same per-agent reward view update() uses
+    b, _ = buf.sample(state, jax.random.key(1), 4)
+    indices = jnp.zeros(1, jnp.int32)  # the episode's first transition
+    b = buf.get(state, indices)
+    b.rew = b.rew[:, 0]
+    bs_view = marl._agent_reward_view(state, 0)
+    out = algo.preprocess(ts["agent0"], buf, bs_view, b, indices, jax.random.key(2))
+    # done inside the chain => pure discounted sum, no bootstrap
+    expected = 1.0 + gamma * 2.0 + gamma**2 * 4.0
+    np.testing.assert_allclose(np.asarray(out.returns), [expected], rtol=1e-5)
+
+    # and the full dispatcher update runs end-to-end with the n-step agent
+    new_ts, new_state, stats = jax.jit(
+        lambda ts_, st_, k_: marl.update(ts_, buf, st_, k_, 4)
+    )(ts, state, jax.random.key(3))
+    assert "agent0" in stats

@@ -28,6 +28,7 @@ class PPO(A2C):
         value_clip: bool = False,
         advantage_normalization: bool = True,
         recompute_advantage: bool = False,
+        target_kl: float | None = None,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -39,6 +40,11 @@ class PPO(A2C):
         self.dual_clip = dual_clip
         self.value_clip = value_clip
         self.recompute_advantage = recompute_advantage
+        # KL guard: once a minibatch's approx_kl exceeds 1.5*target_kl, the
+        # remaining minibatch updates of this rollout become no-ops (the
+        # standard early-stop that prevents late-training policy collapse;
+        # jit-compatible via masked updates instead of a break)
+        self.target_kl = target_kl
 
     def update_rollout(self, ts, rollout, key, repeat: int, batch_size: int):
         """With ``recompute_advantage`` (reference ppo.py:152-177), GAE is
@@ -54,6 +60,7 @@ class PPO(A2C):
         batch = self.process_rollout(ts, rollout, k_first)
         ts = self.update_return_stats(ts, batch)
         stats = None
+        stopped = jnp.bool_(False)
         for r in range(repeat):
             key, k_proc, k_loop = jax.random.split(key, 3)
             if r > 0:
@@ -65,8 +72,55 @@ class PPO(A2C):
                 batch.v_s = fresh.v_s
                 batch.adv = fresh.adv
                 batch.returns = fresh.returns
-            ts, stats = self.run_minibatch_updates(ts, batch, k_loop, 1, batch_size)
+            if self.target_kl is None:
+                ts, stats = self.run_minibatch_updates(ts, batch, k_loop, 1, batch_size)
+            else:
+                ts, stats, stopped = self._kl_guarded_updates(
+                    ts, batch, k_loop, 1, batch_size, stopped
+                )
         return ts, stats if stats is not None else _B()
+
+    def run_minibatch_updates(self, ts, batch, k_loop, repeat: int, batch_size: int):
+        if self.target_kl is None:
+            return super().run_minibatch_updates(ts, batch, k_loop, repeat, batch_size)
+        ts, stats, _ = self._kl_guarded_updates(
+            ts, batch, k_loop, repeat, batch_size, jnp.bool_(False)
+        )
+        return ts, stats
+
+    def _kl_guarded_updates(self, ts, batch, k_loop, repeat: int, batch_size: int, stopped):
+        """Like the base repeat x minibatch loop, but with the target-KL
+        early stop threaded through the scan carries: once tripped, later
+        minibatch updates leave the train state unchanged."""
+        N = batch.rew.shape[0]
+        n_mb = max(1, N // batch_size)
+        mb_size = N // n_mb
+        threshold = 1.5 * self.target_kl
+
+        def repeat_body(carry, rkey):
+            ts, stopped = carry
+            k_perm, k_mb = jax.random.split(rkey)
+            perm = jax.random.permutation(k_perm, N)[: n_mb * mb_size].reshape(n_mb, mb_size)
+
+            def mb_body(carry, inp):
+                ts, stopped = carry
+                idx, k = inp
+                mb = batch[idx]
+                if self.advantage_normalization:
+                    mb.adv = (mb.adv - mb.adv.mean()) / (mb.adv.std() + 1e-8)
+                new_ts, stats = self._update_minibatch(ts, mb, k)
+                trip = stopped | (stats.approx_kl > threshold)
+                ts = jax.tree.map(lambda a, b: jnp.where(trip, a, b), ts, new_ts)
+                stats.kl_stop = trip.astype(jnp.float32)
+                return (ts, trip), stats
+
+            (ts, stopped), stats = jax.lax.scan(mb_body, (ts, stopped), (perm, jax.random.split(k_mb, n_mb)))
+            return (ts, stopped), stats
+
+        (ts, stopped), stats = jax.lax.scan(repeat_body, (ts, stopped), jax.random.split(k_loop, repeat))
+        mean_stats = jax.tree.map(lambda x: x.mean(), stats)
+        mean_stats.n_grad_steps = jnp.int32(repeat * n_mb)
+        return ts, mean_stats, stopped
 
     def loss_minibatch(self, params, mb: Batch, key: jax.Array):
         dist = self._dist(params, mb.obs)

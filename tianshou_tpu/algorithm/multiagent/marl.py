@@ -8,9 +8,11 @@ Rebuild of reference ``tianshou/algorithm/multiagent/marl.py``:
 TPU-native difference: the reference slices each agent's rows out of the
 batch (dynamic shapes); here every agent updates on the FULL batch with a
 0/1 dispatch weight (``agent_id == agent``) — the same gradients with static
-shapes, so the whole multi-agent update stays one XLA program. Targets are
-1-step bootstraps from the sampled batch (the global next state, matching
-the reference's use of the shared buffer chain).
+shapes, so the whole multi-agent update stays one XLA program. Targets run
+through each algorithm's OWN ``preprocess`` (n-step chains over the shared
+buffer, PER weights) via a per-agent reward view of the buffer state, and
+``postprocess`` writes PER priorities back — the reference's full
+``_preprocess``/``_postprocess`` dispatch (marl.py:205).
 """
 
 from __future__ import annotations
@@ -22,7 +24,6 @@ import jax.numpy as jnp
 
 from tianshou_tpu.algorithm.base import ActOut, OffPolicyAlgorithm, TrainState
 from tianshou_tpu.data.batch import Batch
-from tianshou_tpu.ops.returns import value_mask
 
 __all__ = ["MultiAgentOffPolicyAlgorithm", "MultiAgentOnPolicyAlgorithm", "MARLRandomPolicy"]
 
@@ -62,9 +63,29 @@ class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
         return act
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _agent_reward_view(buf_state, agent: int):
+        """A zero-copy view of the buffer state whose ``rew`` is the
+        agent's reward column — the TPU analogue of the reference's
+        MARLDispatcher buffer view (marl.py:188), so each algorithm's own
+        ``preprocess`` (n-step chains etc.) runs unchanged."""
+
+        def fix(state):
+            data = state.data.copy()
+            data.rew = state.data.rew[..., agent]
+            return state._replace(data=data)
+
+        if hasattr(buf_state, "base"):
+            return buf_state._replace(base=fix(buf_state.base))
+        return fix(buf_state)
+
     def update(self, ts: dict, buffer, buf_state, key: jax.Array, batch_size: int):
         """Sample once, dispatch to every agent with masked weights
-        (reference MARLDispatcher.dispatch_update, marl.py:205)."""
+        (reference MARLDispatcher.dispatch_update, marl.py:205). Each
+        agent's targets run through ITS OWN preprocess (n-step returns,
+        PER weighting) over a per-agent reward view of the shared buffer,
+        and postprocess (PER priority writeback) updates the shared
+        buf_state — matching the reference's full-_preprocess dispatch."""
         k_sample, k_agents = jax.random.split(key)
         batch, indices = buffer.sample(buf_state, k_sample, batch_size)
         keys = jax.random.split(k_agents, self.n_agents)
@@ -75,11 +96,11 @@ class MultiAgentOffPolicyAlgorithm(OffPolicyAlgorithm):
             b.rew = batch.rew[:, i]  # per-agent reward column (marl.py:188)
             is_mine = (batch.obs.agent_id == i).astype(jnp.float32)
             k1, k2 = jax.random.split(keys[i])
-            tq = algo._target_q(sub_ts, b.obs_next, k1)
-            mask = value_mask(b.terminated.astype(jnp.float32))
-            b.returns = b.rew + algo.gamma * mask * tq.reshape(b.rew.shape)
+            bs_view = self._agent_reward_view(buf_state, i)
+            b = algo.preprocess(sub_ts, buffer, bs_view, b, indices, k1)
             b.weight = is_mine * b.get("weight", jnp.ones_like(is_mine))
             sub_ts, sub_stats = algo.update_step(sub_ts, b, k2)
+            buf_state = algo.postprocess(sub_ts, buffer, buf_state, b, indices, sub_stats)
             ts = {**ts, f"agent{i}": sub_ts}
             stats[f"agent{i}"] = sub_stats
         return ts, buf_state, stats

@@ -278,13 +278,21 @@ class Batch:
         return out
 
     @staticmethod
+    def _recursively_empty(b: "Batch") -> bool:
+        return all(
+            isinstance(v, Batch) and Batch._recursively_empty(v) for v in b._d.values()
+        )
+
+    @staticmethod
     def _try_len(b: "Batch") -> int:
-        """Length of a Batch for cat padding; 0 when undeterminable
-        (no length-bearing keys — reference cat_ lens inference)."""
+        """Length of a Batch for cat padding; 0 for recursively-empty
+        batches (they contribute nothing, reference test_batch.py:244);
+        -1 when genuinely undeterminable (e.g. only 0-d values —
+        reference cat_ raises for mixed keys there, batch.py:976)."""
         try:
             return len(b)
         except TypeError:
-            return 0
+            return 0 if Batch._recursively_empty(b) else -1
 
     @staticmethod
     def _is_empty_val(v: Any) -> bool:
@@ -331,6 +339,17 @@ class Batch:
             parts = []
             for v, b, n in zip(vals, batches, lens):
                 if v is None or Batch._is_empty_val(v):
+                    if n < 0:
+                        raise ValueError(
+                            f"cat: key {k!r} is missing in a batch whose length "
+                            "cannot be inferred; cannot zero-pad (reference "
+                            "raises for mixed keys with undeterminable length)"
+                        )
+                    if n > 0 and axis != 0:
+                        raise ValueError(
+                            f"cat: missing-key zero-padding is only defined for "
+                            f"axis=0, got axis={axis} for key {k!r}"
+                        )
                     if n > 0:
                         pad_shape = (n,) + tuple(proto.shape[1:])
                         parts.append(

@@ -72,7 +72,15 @@ class PipelinedHostCollector(HostCollector):
         training: bool = True,
         reset_before_collect: bool = False,
     ) -> CollectStats:
-        if n_step is None or random:
+        from tianshou_tpu.env.venvs import DummyVectorEnv, SubprocVectorEnv
+
+        # the pipeline drives venv.workers directly; a wrapper (e.g.
+        # VectorEnvNormObs, which only intercepts reset/step) would be
+        # silently bypassed — route wrapped venvs through the sequential
+        # path, which goes through venv.step and keeps wrapper semantics
+        if n_step is None or random or not isinstance(
+            self.venv, (SubprocVectorEnv, DummyVectorEnv)
+        ):
             return super().collect(
                 ts, key, n_step=n_step, n_episode=n_episode, random=random,
                 training=training, reset_before_collect=reset_before_collect,

@@ -100,10 +100,16 @@ class LRSchedulerFactoryLinear:
             collects = max(
                 1, training.max_epochs * training.epoch_num_steps // max(steps_per_collect, 1)
             )
-            # horizon in MINIBATCH gradient steps — optax steps the schedule
-            # once per optimizer update, not per rollout
-            n_mb = max(1, steps_per_collect // max(getattr(training, "batch_size", steps_per_collect), 1))
-            total = collects * max(getattr(training, "update_step_num_repetitions", 1), 1) * n_mb
+            # horizon in GRADIENT steps — optax steps the schedule once per
+            # optimizer update, not per rollout.  On-policy: minibatches x
+            # repetitions per collect; off-policy: round(update_per_step *
+            # env steps collected) gradient steps per collect.
+            ups = getattr(training, "update_step_num_gradient_steps_per_sample", None)
+            if ups is not None:
+                total = collects * max(1, round(ups * steps_per_collect))
+            else:
+                n_mb = max(1, steps_per_collect // max(getattr(training, "batch_size", steps_per_collect), 1))
+                total = collects * max(getattr(training, "update_step_num_repetitions", 1), 1) * n_mb
         return linear_lr_schedule(lr, total)
 
 

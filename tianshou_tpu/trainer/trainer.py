@@ -281,7 +281,13 @@ class OffPolicyTrainer(_TrainerBase):
             keys = jax.random.split(k_c, T)
 
             def c_body(carry, k):
-                return coll._step_fn(ts, carry, k, training=True, store=True, keep_rollout=False)
+                # under ENABLE_VALIDATION keep the full transition in the
+                # emitted rollout so the NaN screen sees obs/act/rew, not
+                # just episode returns (reference collector.py:515-525)
+                return coll._step_fn(
+                    ts, carry, k, training=True, store=True,
+                    keep_rollout=config.ENABLE_VALIDATION,
+                )
 
             (cstate, buf_state), out = jax.lax.scan(c_body, (cstate, buf_state), keys)
 
@@ -345,7 +351,10 @@ class OffPolicyTrainer(_TrainerBase):
                     jax.block_until_ready(out.done)
                     self.gradient_step += n_updates
                 else:
-                    cstate, buf_state, out = self.train_collector.collect(ts, cstate, buf_state, k, T)
+                    cstate, buf_state, out = self.train_collector.collect(
+                        ts, cstate, buf_state, k, T,
+                        keep_rollout=config.ENABLE_VALIDATION,
+                    )
                     self._train_cstate = cstate
                     jax.block_until_ready(out.done)
                 collect_time += time.time() - tc
@@ -608,6 +617,7 @@ class HostOnPolicyTrainer(_TrainerBase):
     def run(self, ts, key) -> TrainResult:
         p: OnPolicyTrainerParams = self.params
         t0 = time.time()
+        collect_time = update_time = test_time = 0.0
         tc = self.train_collector
         if tc._obs is None:
             tc.reset(seed=p.seed)
@@ -631,7 +641,9 @@ class HostOnPolicyTrainer(_TrainerBase):
                 if p.train_fn is not None:
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 key, k = _split_host(key)
+                t_c = time.time()
                 rollout, stats = tc.collect_rollout(ts, k, T)
+                collect_time += time.time() - t_c
                 self._validate_collect(rollout)
                 self.env_step += stats.n_collected_steps
                 steps_this_epoch += stats.n_collected_steps
@@ -640,18 +652,23 @@ class HostOnPolicyTrainer(_TrainerBase):
                         {"train/reward": float(stats.returns.mean())}, self.env_step
                     )
                 key, k = _split_host(key)
+                t_u = time.time()
                 ts, upd_stats = self._update_jit(ts, rollout, k)
+                jax.block_until_ready(ts.step)
+                update_time += time.time() - t_u
                 self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
                 self._ts = ts
                 self._log_update(upd_stats)
             key, k = _split_host(key)
             ts_test = self._apply_hparams(ts, p.test_fn(epoch, self.env_step)) if p.test_fn else ts
+            t_t = time.time()
             test_stats = self.test_collector.collect(
                 ts_test, k, n_episode=p.test_step_num_episodes, training=False,
                 reset_before_collect=True,
             )
+            test_time += time.time() - t_t
             stop = self._log_test(test_stats, epoch)
-            self._log_info(epoch, t0, {})
+            self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
             self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
@@ -664,7 +681,7 @@ class HostOnPolicyTrainer(_TrainerBase):
             gradient_step=self.gradient_step,
             epochs=epoch,
             train_time=time.time() - t0,
-            timing={},
+            timing={"collect": collect_time, "update": update_time, "test": test_time},
             train_state=ts,
         )
 
@@ -685,6 +702,7 @@ class HostOffPolicyTrainer(_TrainerBase):
     def run(self, ts, buf_state, key) -> TrainResult:
         p: OffPolicyTrainerParams = self.params
         t0 = time.time()
+        collect_time = update_time = test_time = 0.0
         algo, buffer = self.algo, self.buffer
         tc = self.train_collector
         tc.buf_state = buf_state
@@ -720,7 +738,16 @@ class HostOffPolicyTrainer(_TrainerBase):
                 if p.train_fn is not None:
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 key, k = _split_host(key)
+                t_c = time.time()
                 stats = tc.collect(ts, k, n_step=T)
+                collect_time += time.time() - t_c
+                if config.ENABLE_VALIDATION:
+                    # probe the live transition state the collector just
+                    # wrote (obs + episode returns) — the off-policy path
+                    # has no rollout to screen (reference collector.py:515)
+                    self._validate_collect(Batch(
+                        obs=np.asarray(tc._obs), returns=stats.returns,
+                    ))
                 self.env_step += stats.n_collected_steps
                 steps_this_epoch += stats.n_collected_steps
                 if p.logger is not None and stats.n_collected_episodes:
@@ -728,7 +755,10 @@ class HostOffPolicyTrainer(_TrainerBase):
                         {"train/reward": float(stats.returns.mean())}, self.env_step
                     )
                 key, k = _split_host(key)
+                t_u = time.time()
                 ts, tc.buf_state, upd_stats = update_fn(ts, tc.buf_state, k)
+                jax.block_until_ready(ts.step)
+                update_time += time.time() - t_u
                 self.gradient_step += n_updates
                 self._ts = ts
                 self._log_update(upd_stats)
@@ -737,11 +767,14 @@ class HostOffPolicyTrainer(_TrainerBase):
                 ts_test = self._apply_hparams(ts, p.test_fn(epoch, self.env_step))
             else:
                 ts_test = ts
+            t_t = time.time()
             test_stats = self.test_collector.collect(
                 ts_test, k, n_episode=p.test_step_num_episodes, training=False,
                 reset_before_collect=True,
             )
+            test_time += time.time() - t_t
             stop = self._log_test(test_stats, epoch)
+            self._log_info(epoch, t0, {"collect": collect_time, "update": update_time, "test": test_time})
             self._save_counters(epoch)
             if p.save_checkpoint_fn is not None:
                 p.save_checkpoint_fn(epoch, self.env_step, self.gradient_step, ts)
@@ -754,7 +787,7 @@ class HostOffPolicyTrainer(_TrainerBase):
             gradient_step=self.gradient_step,
             epochs=epoch,
             train_time=time.time() - t0,
-            timing={},
+            timing={"collect": collect_time, "update": update_time, "test": test_time},
             train_state=ts,
             buf_state=tc.buf_state,
         )
