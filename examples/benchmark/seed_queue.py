@@ -52,6 +52,24 @@ def _load_train(script: str):
 
 
 def _run_job(job: dict, results_path: Path) -> None:
+    if "vmap" in job:
+        # seed-vmapped multi-seed run (see seed_vmap.py): all seeds train
+        # simultaneously in one XLA program
+        sys.path.insert(0, str(_REPO / "examples/benchmark"))
+        from seed_vmap import run_multiseed
+
+        spec = dict(job["vmap"])
+        results = run_multiseed(
+            spec.pop("algo"), spec.pop("task"), spec.pop("seeds"), **spec
+        )
+        for r in results:
+            row = {"name": job["name"], **{k: v for k, v in r.items() if k != "curve"},
+                   "curve": r["curve"], "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+            with results_path.open("a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(f"[seed_queue] {job['name']} seed={r['seed']}: best={r['best_reward']:.1f}",
+                  flush=True)
+        return
     train = _load_train(job["script"])
     kwargs = dict(job.get("kwargs", {}))
     for seed in job["seeds"]:
