@@ -123,7 +123,8 @@ def main() -> None:
         jobfile = pending[0]
         try:
             job = json.loads(jobfile.read_text())
-            print(f"[seed_queue] start {jobfile.name}: {job['name']} seeds={job['seeds']}",
+            seeds = job.get("seeds") or job.get("vmap", {}).get("seeds")
+            print(f"[seed_queue] start {jobfile.name}: {job['name']} seeds={seeds}",
                   flush=True)
             _run_job(job, results_path)
             jobfile.rename(done / jobfile.name)

@@ -33,3 +33,30 @@ def test_sac_hopper_learns():
     )
     # random policy scores ~20; SAC reaches >150 within ~20k steps
     assert r.best_reward > 120, r.best_reward
+
+
+def test_humanoid_env_physics_sane():
+    """Humanoid: stands under gravity with zero action for a few frames,
+    falls (terminates) within ~1 s, and action magnitudes map through the
+    (-0.4, 0.4) ctrlrange (gym Humanoid-v4 action space)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.env.mujoco import make
+
+    env = make("Humanoid")
+    assert env.observation_space.shape[0] == 123
+    assert env.action_space.shape == (17,)
+    assert abs(env.action_space.low[0] + 0.4) < 1e-6
+    st, obs = env.reset(jax.random.key(0))
+    step = jax.jit(env.step)
+    out = step(st, jnp.zeros(17), jax.random.key(1))
+    assert not bool(out.terminated)
+    assert 4.0 < float(out.reward) < 6.5  # ~healthy_reward while standing
+    fell = False
+    for t in range(80):
+        out = step(out.state, jnp.zeros(17), jax.random.key(t + 2))
+        if bool(out.terminated):
+            fell = True
+            break
+    assert fell, "zero-action humanoid should fall within 80 frames"

@@ -45,9 +45,15 @@ class MujocoEnv(Env):
         if max_episode_steps is not None:
             self.max_episode_steps = max_episode_steps
         self.model = load_mjcf(self.xml)
-        nu = len(self.model.actuators)
-        self.action_space = Box(low=[-1.0] * nu, high=[1.0] * nu)
-        obs_dim = int(np.asarray(self._obs(dyn.init_state(self.model)[0], jnp.zeros(self.model.nq))).shape[0])
+        # gym MujocoEnv action space == actuator ctrlrange (mujoco_env.py);
+        # (-1, 1) for every benchmark asset except Humanoid's (-0.4, 0.4)
+        self.action_space = Box(
+            low=[a.ctrlrange[0] for a in self.model.actuators],
+            high=[a.ctrlrange[1] for a in self.model.actuators],
+        )
+        obs_dim = int(np.asarray(
+            self._obs(dyn.init_state(self.model)[0], jnp.zeros(self.model.nq, jnp.float32))
+        ).shape[0])
         self.observation_space = Box(low=[-np.inf] * obs_dim, high=[np.inf] * obs_dim)
 
     # -- task hooks -----------------------------------------------------
@@ -79,7 +85,11 @@ class MujocoEnv(Env):
         return st, self._obs(st.q, st.qd)
 
     def step(self, state: PhysState, action: jnp.ndarray, key: jax.Array) -> EnvStep:
-        a = jnp.clip(action, -1.0, 1.0)
+        a = jnp.clip(
+            action,
+            jnp.asarray(self.action_space.low),
+            jnp.asarray(self.action_space.high),
+        )
         q1, qd1 = dyn.step(self.model, state.q, state.qd, a, frame_skip=self.frame_skip, substeps=self.substeps)
         t = state.t + 1
         new = PhysState(q1, qd1, t)

@@ -17,7 +17,7 @@ from tianshou_tpu.env.mujoco.base import MujocoEnv, PhysState
 from tianshou_tpu.env.physics.algebra import rotvec_to_quat, rotvec_to_mat
 from tianshou_tpu.env.physics.dynamics import _rotvec_jacobian
 
-__all__ = ["HalfCheetah", "Hopper", "Walker2d", "Ant", "Swimmer", "Reacher"]
+__all__ = ["HalfCheetah", "Hopper", "Walker2d", "Ant", "Swimmer", "Reacher", "Humanoid"]
 
 
 class HalfCheetah(MujocoEnv):
@@ -124,6 +124,64 @@ class Ant(MujocoEnv):
     def _reward(self, q0, qd0, q1, qd1, action):
         x_vel = (q1[0] - q0[0]) / self.dt
         return x_vel + self.healthy_reward * 1.0 - self.ctrl_cost_weight * jnp.sum(action * action)
+
+    def _terminated(self, q, qd):
+        return ~self._healthy(q, qd)
+
+
+class Humanoid(MujocoEnv):
+    """Humanoid-v4 task: 17-DoF biped (free joint + 17 hinges, nq=23 in
+    the rotation-vector chart). Reward = 5.0 (healthy) + 1.25 * COM
+    x-velocity - 0.1*||a||^2; terminate outside 1.0 < z < 2.0; 1000-step
+    horizon; reset noise U(-0.01, 0.01) on qpos AND qvel
+    (reference row: SAC 5,488.5 +- 81.2, examples/mujoco/README.md:147).
+
+    Observation: qpos[2:] (z excluded x/y; quaternion from the rotvec
+    chart) + qvel (angular velocity in body frame, MuJoCo layout) +
+    per-body COM 6D velocities (the informative core of gym's ``cvel``
+    block) + actuator forces (``qfrc_actuator``). Gym's remaining
+    ``cinert``/``cfrc_ext`` blocks (static pose functions / contact force
+    readback) are omitted — documented deviation; the env is
+    self-consistent for training and evaluation.
+    """
+
+    xml = "humanoid.xml"
+    frame_skip = 5
+    reset_noise_scale = 1e-2
+    reset_noise_kind = "both_uniform"
+    ctrl_cost_weight = 0.1
+    healthy_reward = 5.0
+    forward_reward_weight = 1.25
+
+    def _com(self, q):
+        from tianshou_tpu.env.physics.dynamics import _fk_com
+
+        pcom, _ = _fk_com(self.model, q)
+        m = jnp.asarray(self.model.body_mass)
+        return (m[:, None] * pcom).sum(0) / m.sum()
+
+    def _obs(self, q, qd):
+        from tianshou_tpu.env.physics.dynamics import _body_velocities, actuation
+
+        quat = rotvec_to_quat(q[3:6])
+        omega_world = _rotvec_jacobian(q[3:6]) @ qd[3:6]
+        omega_body = rotvec_to_mat(q[3:6]).T @ omega_world
+        qvel = jnp.concatenate([qd[:3], omega_body, qd[6:]])
+        _, _, vcom, omega = _body_velocities(self.model, q, qd)
+        return jnp.concatenate([
+            q[2:3], quat, q[6:], qvel, vcom.reshape(-1), omega.reshape(-1),
+        ]).astype(jnp.float32)
+
+    def _healthy(self, q, qd):
+        return (q[2] > 1.0) & (q[2] < 2.0)
+
+    def _reward(self, q0, qd0, q1, qd1, action):
+        x_vel = (self._com(q1)[0] - self._com(q0)[0]) / self.dt
+        return (
+            self.forward_reward_weight * x_vel
+            + self.healthy_reward
+            - self.ctrl_cost_weight * jnp.sum(action * action)
+        )
 
     def _terminated(self, q, qd):
         return ~self._healthy(q, qd)
