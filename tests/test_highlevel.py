@@ -365,3 +365,82 @@ def test_random_actor_and_dict_obs_net():
     p = net.init(jax.random.key(0), obs)
     out = jax.jit(lambda o: net.apply(p, o))(obs)
     assert out.shape == (5, 2)
+
+
+def test_discrete_offline_and_bc_builders_smoke(tmp_path):
+    """The BC + discrete offline trio builders train from a gathered
+    discrete dataset (VERDICT r2 item 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.algorithm.modelfree.dqn import DQN
+    from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+    from tianshou_tpu.data.collector import DeviceCollector
+    from tianshou_tpu.env.core import VectorDeviceEnv
+    from tianshou_tpu.highlevel.config import OfflineTrainingConfig
+    from tianshou_tpu.highlevel.experiment import (
+        DiscreteBCQExperimentBuilder,
+        DiscreteCQLExperimentBuilder,
+        DiscreteCRRExperimentBuilder,
+        ImitationLearningExperimentBuilder,
+    )
+    from tianshou_tpu.models.mlp import Net
+
+    env = CartPole()
+    # gather a small random dataset on the device path
+    algo = DQN(model=Net(hidden_sizes=(32,), output_dim=2), action_space=env.action_space,
+               optim=AdamOptimizerFactory(lr=1e-3), eps_training=1.0)
+    key = jax.random.key(0)
+    ts = algo.init(key, jnp.zeros(env.observation_space.shape))
+    buffer = VectorReplayBuffer(total_size=4000, buffer_num=8)
+    bs = buffer.init(Batch(
+        obs=jnp.zeros(env.observation_space.shape), act=jnp.int32(0), rew=jnp.float32(0),
+        terminated=jnp.bool_(False), truncated=jnp.bool_(False),
+        obs_next=jnp.zeros(env.observation_space.shape),
+    ))
+    coll = DeviceCollector(VectorDeviceEnv(env, 8), algo, buffer)
+    cstate = coll.reset(jax.random.key(1))
+    cstate, bs, _ = coll.collect(ts, cstate, bs, jax.random.key(2), 50, random=True)
+
+    for builder_cls in (ImitationLearningExperimentBuilder, DiscreteBCQExperimentBuilder,
+                        DiscreteCQLExperimentBuilder, DiscreteCRRExperimentBuilder):
+        cfg = ExperimentConfig(seed=0, persistence_base_dir=str(tmp_path), persistence_enabled=False)
+        training = OfflineTrainingConfig(
+            max_epochs=1, update_step_num_gradient_steps_per_epoch=20,
+            batch_size=64, num_test_envs=4, test_step_num_episodes=2,
+        )
+        res = (
+            builder_cls(lambda: env, cfg, training)
+            .with_dataset(buffer, bs)
+            .build()
+            .run(f"offline_{builder_cls.__name__}")
+        )
+        assert res.gradient_step == 20, builder_cls.__name__
+
+
+def test_marl_builder_selfplay_smoke():
+    """MARL self-play through the declarative surface: builds per-agent
+    masked DQNs, trains a few epochs of tic-tac-toe, returns stats."""
+    from tianshou_tpu.env.tictactoe import TicTacToeEnv
+    from tianshou_tpu.highlevel.experiment import MARLExperimentBuilder
+
+    res = (
+        MARLExperimentBuilder(
+            TicTacToeEnv,
+            n_agents=2,
+            config=ExperimentConfig(seed=0, persistence_enabled=False),
+            training=OffPolicyTrainingConfig(
+                max_epochs=2, epoch_num_steps=600, buffer_size=8000,
+                num_train_envs=4, num_test_envs=4, test_step_num_episodes=4,
+                batch_size=64, collection_step_num_env_steps=16,
+                update_step_num_gradient_steps_per_sample=0.25,
+                start_timesteps=128,
+            ),
+        )
+        .build()
+        .run("marl_ttt")
+    )
+    assert res.env_step >= 128 + 2 * 600
+    assert res.gradient_step > 0

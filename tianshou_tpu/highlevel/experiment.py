@@ -893,3 +893,192 @@ class GAILExperimentBuilder(_ActorCriticBuilder):
             expert_act=self._expert[1],
             **kw,
         )
+
+
+class ImitationLearningExperimentBuilder(_OfflineBuilder):
+    """Behavior cloning from an offline dataset (reference
+    imitation/imitation_base.py ImitationLearning via OfflineTrainer)."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.bc import ImitationLearning
+        from tianshou_tpu.models.continuous import ContinuousActorDeterministic
+        from tianshou_tpu.models.mlp import Net
+
+        kw = dict(self._params)
+        lr = kw.pop("lr", 1e-3)
+        hidden = tuple(kw.pop("hidden_sizes", (64, 64)))
+        if isinstance(env.action_space, Discrete):
+            model = Net(hidden_sizes=hidden, output_dim=env.action_space.n)
+        else:
+            model = ContinuousActorDeterministic(
+                hidden_sizes=hidden, action_dim=int(env.action_space.shape[0])
+            )
+        return ImitationLearning(
+            model=model, action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=lr), **kw,
+        )
+
+
+class DiscreteBCQExperimentBuilder(_OfflineBuilder):
+    """Discrete batch-constrained Q (reference imitation/discrete_bcq.py)."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.discrete_bcq import DiscreteBCQ
+        from tianshou_tpu.models.mlp import Net
+
+        kw = dict(self._params)
+        lr = kw.pop("lr", 1e-3)
+        hidden = tuple(kw.pop("hidden_sizes", (64, 64)))
+        n = env.action_space.n
+        return DiscreteBCQ(
+            model=Net(hidden_sizes=hidden, output_dim=n),
+            imitator=Net(hidden_sizes=hidden, output_dim=n),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=lr), **kw,
+        )
+
+
+class DiscreteCQLExperimentBuilder(_OfflineBuilder):
+    """Discrete conservative Q-learning over QRDQN quantiles (reference
+    imitation/discrete_cql.py)."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.discrete_cql import DiscreteCQL
+        from tianshou_tpu.models.mlp import Net
+
+        kw = dict(self._params)
+        lr = kw.pop("lr", 1e-3)
+        hidden = tuple(kw.pop("hidden_sizes", (64, 64)))
+        num_quantiles = kw.pop("num_quantiles", 200)
+        return DiscreteCQL(
+            model=Net(hidden_sizes=hidden, output_dim=env.action_space.n,
+                      num_atoms=num_quantiles),
+            action_space=env.action_space,
+            num_quantiles=num_quantiles,
+            optim=AdamOptimizerFactory(lr=lr), **kw,
+        )
+
+
+class DiscreteCRRExperimentBuilder(_OfflineBuilder):
+    """Discrete critic-regularized regression (reference
+    imitation/discrete_crr.py)."""
+
+    def _make_algo(self, env: Env):
+        from tianshou_tpu.algorithm.imitation.discrete_crr import DiscreteCRR
+        from tianshou_tpu.models.mlp import Net
+
+        kw = dict(self._params)
+        lr = kw.pop("lr", 1e-3)
+        hidden = tuple(kw.pop("hidden_sizes", (64, 64)))
+        n = env.action_space.n
+        return DiscreteCRR(
+            actor=Net(hidden_sizes=hidden, output_dim=n),
+            critic=Net(hidden_sizes=hidden, output_dim=n),
+            action_space=env.action_space,
+            optim=AdamOptimizerFactory(lr=lr), **kw,
+        )
+
+
+# ---------------------------------------------------------------------------
+# multi-agent RL
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class MARLExperiment(Experiment):
+    """Runnable multi-agent self-play experiment over a host multi-agent
+    env (dict obs {agent_id, obs, mask} — e.g. env/tictactoe.py), built on
+    MultiAgentOffPolicyAlgorithm + HostOffPolicyTrainer."""
+
+    n_agents: int = 2
+
+    def run(self, run_name: str = "marl") -> TrainResult:
+        from tianshou_tpu.data.host_collector import HostCollector
+        from tianshou_tpu.env.venvs import DummyVectorEnv
+        from tianshou_tpu.trainer.trainer import HostOffPolicyTrainer
+
+        cfg, tc = self.config, self.training
+        key = jax.random.key(cfg.seed)
+        np.random.seed(cfg.seed)
+        env = self.env_factory()
+        marl = self.algo_factory(env)
+        obs0, _ = env.reset(seed=cfg.seed)
+        obs_ex = Batch(
+            agent_id=jnp.int32(obs0["agent_id"]),
+            obs=jnp.asarray(obs0["obs"], jnp.float32),
+            mask=jnp.asarray(obs0["mask"], bool),
+        )
+        key, k_init = jax.random.split(key)
+        ts = marl.init(k_init, obs_ex)
+        buffer = VectorReplayBuffer(total_size=tc.buffer_size, buffer_num=tc.num_train_envs)
+        example = Batch(
+            obs=obs_ex, act=jnp.int32(0), rew=jnp.zeros(self.n_agents),
+            terminated=jnp.bool_(False), truncated=jnp.bool_(False), obs_next=obs_ex,
+        )
+        buf_state = buffer.init(example)
+        tcol = HostCollector(
+            DummyVectorEnv([self.env_factory for _ in range(tc.num_train_envs)]), marl, buffer
+        )
+        ecol = HostCollector(
+            DummyVectorEnv([self.env_factory for _ in range(tc.num_test_envs)]), marl, None
+        )
+        logger = self.logger_factory(run_name) if self.logger_factory else LazyLogger()
+        params = OffPolicyTrainerParams(
+            max_epochs=tc.max_epochs,
+            epoch_num_steps=tc.epoch_num_steps,
+            test_step_num_episodes=tc.test_step_num_episodes,
+            batch_size=tc.batch_size,
+            collection_step_num_env_steps=tc.collection_step_num_env_steps,
+            update_per_step=tc.update_step_num_gradient_steps_per_sample,
+            start_steps=tc.start_timesteps,
+            start_random=tc.start_timesteps_random,
+            logger=logger, verbose=False, seed=cfg.seed,
+        )
+        return HostOffPolicyTrainer(marl, tcol, ecol, buffer, params).run(ts, buf_state, key)
+
+
+class MARLExperimentBuilder(ExperimentBuilder):
+    """Self-play MARL builder (the reference exposes MARL through the
+    low-level API + pettingzoo examples; this builder brings it to the
+    declarative surface). ``env_factory() -> multi-agent host env`` with
+    dict observations; per-agent algorithms come from
+    ``with_agent_factory`` (default: masked DQN)."""
+
+    def __init__(self, env_factory, n_agents: int = 2, config=None, training=None) -> None:
+        super().__init__(env_factory, config, training or OffPolicyTrainingConfig())
+        self._n_agents = n_agents
+        self._agent_factory = None
+
+    def with_agent_factory(self, factory) -> "MARLExperimentBuilder":
+        """``factory(env, agent_index) -> OffPolicyAlgorithm``."""
+        self._agent_factory = factory
+        return self
+
+    def _default_agent(self, env, _i):
+        from tianshou_tpu.algorithm.modelfree.dqn import DQN
+        from tianshou_tpu.models.discrete import MaskedQNet
+
+        n = int(env.action_space.n)
+        return DQN(
+            model=MaskedQNet(hidden_sizes=(128, 128), action_dim=n),
+            action_space=Discrete(n),
+            optim=AdamOptimizerFactory(lr=1e-3),
+            gamma=0.9, n_step_return_horizon=1, target_update_freq=200, eps_training=0.2,
+        )
+
+    def _make_algo(self, env):
+        from tianshou_tpu.algorithm.multiagent.marl import MultiAgentOffPolicyAlgorithm
+
+        factory = self._agent_factory or self._default_agent
+        agents = [factory(env, i) for i in range(self._n_agents)]
+        return MultiAgentOffPolicyAlgorithm(
+            agents, action_space=Discrete(int(env.action_space.n))
+        )
+
+    def build(self) -> MARLExperiment:
+        return MARLExperiment(
+            config=self._config,
+            training=self._training,
+            env_factory=self._env_factory,
+            algo_factory=self._make_algo,
+            logger_factory=self._logger_factory,
+            n_agents=self._n_agents,
+        )

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from tianshou_tpu.models.mlp import MLP
 
 __all__ = [
+    "MaskedQNet",
     "DiscreteActor",
     "DiscreteCritic",
     "NoisyLinear",
@@ -198,3 +199,19 @@ class IntrinsicCuriosityModule(nn.Module):
             jnp.concatenate([phi1, phi2], axis=-1)
         )
         return mse, act_hat
+
+
+class MaskedQNet(nn.Module):
+    """Q network over dict observations {agent_id, obs, mask}: MLP on the
+    flattened board with invalid actions masked to a large negative value
+    (the multi-agent action-mask pattern of the reference's tic-tac-toe
+    example, test/pettingzoo/tic_tac_toe.py)."""
+
+    hidden_sizes: Sequence[int]
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs.obs.reshape(obs.obs.shape[0], -1)
+        q = MLP(self.hidden_sizes, self.action_dim)(x)
+        return jnp.where(obs.mask, q, -1e9)

@@ -394,7 +394,7 @@ class OffPolicyTrainer(_TrainerBase):
                     tu = time.time()
                     key, k = _split_host(key)
                     ts, buf_state, upd_stats = update_fn(ts, buf_state, k)
-                    jax.block_until_ready(ts.step)
+                    jax.block_until_ready(ts)
                     update_time += time.time() - tu
                     self.gradient_step += n_updates
                 self._ts = ts
@@ -512,7 +512,7 @@ class OnPolicyTrainer(_TrainerBase):
                 key, k = _split_host(key)
                 tu = time.time()
                 ts, upd_stats = self._update_jit(ts, out.rollout, k)
-                jax.block_until_ready(ts.step)
+                jax.block_until_ready(ts)
                 update_time += time.time() - tu
                 self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
                 self._ts = ts
@@ -654,7 +654,7 @@ class HostOnPolicyTrainer(_TrainerBase):
                 key, k = _split_host(key)
                 t_u = time.time()
                 ts, upd_stats = self._update_jit(ts, rollout, k)
-                jax.block_until_ready(ts.step)
+                jax.block_until_ready(ts)
                 update_time += time.time() - t_u
                 self.gradient_step += int(np.asarray(upd_stats.get("n_grad_steps", 1)))
                 self._ts = ts
@@ -757,7 +757,7 @@ class HostOffPolicyTrainer(_TrainerBase):
                 key, k = _split_host(key)
                 t_u = time.time()
                 ts, tc.buf_state, upd_stats = update_fn(ts, tc.buf_state, k)
-                jax.block_until_ready(ts.step)
+                jax.block_until_ready(ts)
                 update_time += time.time() - t_u
                 self.gradient_step += n_updates
                 self._ts = ts
