@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 ATARI_BASELINE_STEPS_PER_SEC = 3000.0  # reference examples/atari/README.md:22
+V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e peak bf16 TFLOP/s (per chip)
 
 
 def _sync(tree) -> float:
@@ -63,8 +64,10 @@ def _timed_scan(megastep, carry, key, iters: int, steps_per_iter: int):
 
 
 # ---------------------------------------------------------------------------
-def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, batch: int = 32, iters: int = 8):
-    """DQN on synthetic 84x84 pixels with the full replay pipeline."""
+def _build_atari_pipeline(E: int):
+    """Shared DQN-on-pixels pipeline: synthetic Atari env + NatureCNN DQN +
+    uint8 frame-stacked replay ring. Returns (algo, buffer, coll, ts,
+    buf_state, cstate, key)."""
     from typing import NamedTuple
 
     from tianshou_tpu.algorithm.modelfree.dqn import DQN
@@ -133,6 +136,16 @@ def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, bat
     ))
     coll = DeviceCollector(VectorDeviceEnv(env, E), algo, buffer)
     cstate = coll.reset(k2)
+    return algo, buffer, coll, ts, buf_state, cstate, key
+
+
+def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, batch: int = 32, iters: int = 8):
+    """DQN on synthetic 84x84 pixels with the full replay pipeline, at the
+    reference's own Atari protocol load (update_per_step=0.1, batch=32 —
+    examples/atari/atari_dqn.py defaults). This measures the HEADLINE
+    apples-to-apples env-steps/s; see bench_atari_update_burst for the
+    chip-utilization (MFU) story at a saturating gradient load."""
+    algo, buffer, coll, ts, buf_state, cstate, key = _build_atari_pipeline(E)
     n_updates = max(1, round(update_per_step * T * E))
 
     def megastep(carry, key):
@@ -166,6 +179,56 @@ def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, bat
         "device_ms_per_megastep": round(ms, 2),
         "achieved_cnn_tflops": round(flops_per_megastep / (ms / 1e3) / 1e12, 3),
         "config": {"E": E, "T": T, "update_per_step": update_per_step, "batch": batch},
+    }
+
+
+# ---------------------------------------------------------------------------
+def bench_atari_update_burst(E: int = 256, batch: int = 1024, n_updates: int = 64, iters: int = 4):
+    """Chip-utilization benchmark: a fused burst of DQN gradient steps at a
+    saturating batch through the REAL update path (uint8 replay sample +
+    4-frame restack + n-step targets + bf16 NatureCNN fwd/bwd + Adam).
+
+    The headline protocol (update_per_step=0.1, batch=32) leaves the MXU
+    idle by construction — that is the reference's own training load, not a
+    hardware limit. This measures what the same framework code path achieves
+    when the gradient work is shaped for the MXU (batch >= 512, bf16), and
+    reports achieved CNN TFLOP/s and MFU against the chip's bf16 peak."""
+    algo, buffer, coll, ts, buf_state, cstate, key = _build_atari_pipeline(E)
+
+    # prefill the ring so samples stride the full frame-stack/n-step logic
+    @jax.jit
+    def prefill(carry, key):
+        def c_body(c, k):
+            return coll._step_fn(ts, c, k, training=True, store=True, keep_rollout=False)
+
+        (cstate, bstate), _ = jax.lax.scan(c_body, carry, jax.random.split(key, 64))
+        return cstate, bstate
+
+    key, kf = jax.random.split(key)
+    cstate, buf_state = prefill((cstate, buf_state), kf)
+
+    def burst(carry, key):
+        ts, bs = carry
+
+        def u_body(c, k):
+            ts, bs = c
+            ts, bs, _ = algo.update(ts, buffer, bs, k, batch)
+            return (ts, bs), None
+
+        (ts, bs), _ = jax.lax.scan(u_body, (ts, bs), jax.random.split(key, n_updates))
+        return ts, bs
+
+    grad_steps_per_s, ms = _timed_scan(burst, (ts, buf_state), key, iters=iters, steps_per_iter=n_updates)
+    # per update: online fwd (F) + target fwd (F) + bwd (2F), F = 18.7 MFLOP/frame
+    fwd_flops = 18.7e6
+    tflops = n_updates * batch * fwd_flops * 4 / (ms / 1e3) / 1e12
+    return {
+        "grad_steps_per_s": round(grad_steps_per_s, 1),
+        "device_ms_per_grad_step": round(ms / n_updates, 3),
+        "samples_per_s": round(grad_steps_per_s * batch, 1),
+        "achieved_cnn_tflops": round(tflops, 2),
+        "mfu_pct_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS * 100, 1),
+        "config": {"batch": batch, "n_updates": n_updates},
     }
 
 
@@ -256,7 +319,8 @@ def bench_mlp_ppo(E: int = 4096, T: int = 128, repeat: int = 4, batch: int = 163
 
 def main() -> None:
     results = {}
-    for name, fn in [("atari_cnn", bench_atari_cnn), ("mujoco_ppo", bench_mujoco_ppo), ("mlp_ppo", bench_mlp_ppo)]:
+    for name, fn in [("atari_cnn", bench_atari_cnn), ("atari_update_burst", bench_atari_update_burst),
+                     ("mujoco_ppo", bench_mujoco_ppo), ("mlp_ppo", bench_mlp_ppo)]:
         try:
             results[name] = fn()
         except Exception as e:  # keep the headline even if one workload fails

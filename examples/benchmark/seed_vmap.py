@@ -118,6 +118,7 @@ def run_multiseed(
     start_steps: int | None = None,
     test_episodes: int = 10,
     verbose: bool = True,
+    env_overrides: dict | None = None,
 ) -> list[dict]:
     """Train ``len(seeds)`` agents simultaneously; returns one result dict
     per seed: {seed, best_reward, curve: [(env_step, reward), ...]}."""
@@ -128,6 +129,8 @@ def run_multiseed(
     from tianshou_tpu.env.mujoco import make
 
     env = make(task)
+    for k, v in (env_overrides or {}).items():  # e.g. {"substeps": 2} fidelity A/B
+        setattr(env, k, v)
     algo = ALGOS[algo_name](env)
     if start_steps is None:
         start_steps = START_STEPS[algo_name]

@@ -4,7 +4,7 @@
     python examples/mujoco/mujoco_a2c.py --task Walker2d
 """
 
-from _runner import onpolicy_argparser, run_onpolicy
+from _runner import make_train, onpolicy_argparser, run_onpolicy
 
 
 def make_algo(env):
@@ -21,6 +21,9 @@ def make_algo(env):
         gamma=0.99, gae_lambda=0.95, vf_coef=0.25, ent_coef=0.001,
         action_bound_method="clip", deterministic_eval=True,
     )
+
+
+train = make_train(make_algo, rollout_len=16, batch_size=4096, repeat=1)
 
 
 if __name__ == "__main__":

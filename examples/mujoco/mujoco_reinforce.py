@@ -5,7 +5,7 @@ discounted MC returns with standardization).
     python examples/mujoco/mujoco_reinforce.py --task Hopper
 """
 
-from _runner import onpolicy_argparser, run_onpolicy
+from _runner import make_train, onpolicy_argparser, run_onpolicy
 
 
 def make_algo(env):
@@ -21,6 +21,9 @@ def make_algo(env):
         gamma=0.99, return_standardization=True,
         action_bound_method="clip", deterministic_eval=True,
     )
+
+
+train = make_train(make_algo, rollout_len=256, batch_size=65536, repeat=1)
 
 
 if __name__ == "__main__":

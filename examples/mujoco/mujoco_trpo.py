@@ -4,7 +4,7 @@ KL 0.01 line search, 64x64 nets).
     python examples/mujoco/mujoco_trpo.py --task HalfCheetah
 """
 
-from _runner import onpolicy_argparser, run_onpolicy
+from _runner import make_train, onpolicy_argparser, run_onpolicy
 
 
 def make_algo(env):
@@ -22,6 +22,9 @@ def make_algo(env):
         max_kl=0.01, backtrack_coeff=0.8, max_backtracks=10, optim_critic_iters=20,
         action_bound_method="clip", deterministic_eval=True,
     )
+
+
+train = make_train(make_algo, rollout_len=64, batch_size=16384, repeat=1, num_envs=256)
 
 
 if __name__ == "__main__":

@@ -94,12 +94,15 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--action-scale", type=float, default=1.0)
     p.add_argument("--substeps", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None, help="APGD contact iterations")
     p.add_argument("--per-dof", action="store_true")
     args = p.parse_args()
 
     env = getattr(device_mujoco, args.task)()
     if args.substeps:
         env.substeps = args.substeps
+    if args.iters:
+        env.model.contact_iterations = args.iters
     xml = gym_asset_path(env.xml)
     m = mujoco.MjModel.from_xml_path(xml)
     d = mujoco.MjData(m)

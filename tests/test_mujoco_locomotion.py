@@ -60,3 +60,22 @@ def test_humanoid_env_physics_sane():
             fell = True
             break
     assert fell, "zero-action humanoid should fall within 80 frames"
+
+
+@__import__("pytest").mark.skipif(
+    not __import__("os").environ.get("TIANSHOU_TPU_MEDIUM"),
+    reason="medium-budget quality gate (~10 min CPU); set TIANSHOU_TPU_MEDIUM=1",
+)
+def test_sac_halfcheetah_quality_gate():
+    """Quality regression gate (VERDICT r2 weak #12): SAC on device
+    HalfCheetah must clear 3,000 return within 150k env steps — the 1M-step
+    table rows sit at ~9.9k (examples/mujoco/RESULTS.md) and pass 3k before
+    50k steps, so a pass with margin here catches silent regressions from
+    'it learns something' down to 'it learns a third as well'."""
+    from mujoco_sac import train
+
+    r = train(
+        task="HalfCheetah", epochs=5, epoch_num_steps=30_000, num_envs=32,
+        start_steps=10_000, test_episodes=5, buffer_size=300_000, verbose=False,
+    )
+    assert r.best_reward > 3000, r.best_reward

@@ -37,6 +37,11 @@ class MujocoEnv(Env):
     # (contact-accurate dt <= 2ms). Set lower for ~2.4x throughput at
     # reduced high-speed contact fidelity (see dynamics.step docstring).
     substeps: int | None = None
+    # APGD contact-solver iterations; None = model default (12).  The 3-D
+    # free-joint tasks (Ant/Humanoid) set 30: their many-row contact QPs
+    # measurably benefit (Ant parity 4.7% rel err @30 vs 6.5% @12), while
+    # the planar tasks converge by 8 (scripts/physics_parity.py sweeps).
+    contact_iterations: int | None = None
     # gym reset_noise_scale
     reset_noise_scale: float = 0.1
     reset_noise_kind: str = "uniform"  # qpos noise; qvel noise is scaled normal
@@ -45,6 +50,8 @@ class MujocoEnv(Env):
         if max_episode_steps is not None:
             self.max_episode_steps = max_episode_steps
         self.model = load_mjcf(self.xml)
+        if self.contact_iterations is not None:
+            self.model.contact_iterations = int(self.contact_iterations)
         # gym MujocoEnv action space == actuator ctrlrange (mujoco_env.py);
         # (-1, 1) for every benchmark asset except Humanoid's (-0.4, 0.4)
         self.action_space = Box(

@@ -99,6 +99,7 @@ class Ant(MujocoEnv):
 
     xml = "ant.xml"
     frame_skip = 5
+    contact_iterations = 30
     reset_noise_scale = 0.1
     ctrl_cost_weight = 0.5
     healthy_reward = 1.0
@@ -147,6 +148,7 @@ class Humanoid(MujocoEnv):
 
     xml = "humanoid.xml"
     frame_skip = 5
+    contact_iterations = 30
     reset_noise_scale = 1e-2
     reset_noise_kind = "both_uniform"
     ctrl_cost_weight = 0.1

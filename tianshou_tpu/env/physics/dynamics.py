@@ -547,16 +547,25 @@ def step(
     substeps: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Advance ``frame_skip`` model timesteps (each split into ``substeps``
-    integrator substeps; default keeps the contact-accurate dt <= 2ms).
+    integrator substeps; the default is integrator-aware, see below).
     Returns (q, qd).
 
-    Accuracy note (measured via policy transfer from real MuJoCo): a
-    galloping HalfCheetah policy scores 6095 at dt=2ms and 6042 at dt=1ms
-    (converged) but only 3882 at dt=5ms — high-speed contact fidelity
-    needs the 2ms default. Pass ``substeps`` explicitly (or set
-    ``MujocoEnv.substeps``) to trade accuracy for ~2.4x throughput."""
+    Substep default (measured on scripts/physics_parity.py, per-step qvel
+    error vs real MuJoCo): for models that *declare* Euler integration
+    (MuJoCo's default; of the benchmark set only HalfCheetah) the most
+    faithful choice is to match the source model's own discretization, i.e.
+    substeps=1: MuJoCo Euler IS semi-implicit Euler at dt=timestep, and
+    HalfCheetah measures 3.3% rel error at substeps=1 vs 8.2% at substeps=5.
+    For RK4 models (Hopper/Walker2d at dt=2ms, Swimmer/Ant at 10ms,
+    Humanoid at 3ms) the source is a higher-order integrator, so we keep
+    subdividing to dt<=2ms (Ant: 16.6% at substeps=1, 4.7% at substeps=5).
+    Pass ``substeps`` explicitly (or set ``MujocoEnv.substeps``) to
+    override."""
     if substeps is None:
-        substeps = max(1, int(np.ceil(model.timestep / 0.002 - 1e-9)))
+        if getattr(model, "integrator", "euler") == "euler":
+            substeps = 1
+        else:
+            substeps = max(1, int(np.ceil(model.timestep / 0.002 - 1e-9)))
     tau = actuation(model, ctrl)
     dt = model.timestep / substeps
     n = frame_skip * substeps

@@ -244,6 +244,7 @@ class _Loader:
     def build(self) -> Model:
         opt = self.root.find("option")
         timestep = float(opt.get("timestep", "0.002")) if opt is not None else 0.002
+        integrator = (opt.get("integrator", "Euler") if opt is not None else "Euler").lower()
         gravity = _floats(opt.get("gravity"), [0, 0, -9.81]) if opt is not None else np.array([0, 0, -9.81])
         fluid_density = float(opt.get("density", "0")) if opt is not None else 0.0
         fluid_viscosity = float(opt.get("viscosity", "0")) if opt is not None else 0.0
@@ -268,6 +269,7 @@ class _Loader:
             qpos0=np.asarray(self.qpos0, float),
             gravity=np.asarray(gravity, float),
             timestep=timestep,
+            integrator=integrator,
             fluid_density=fluid_density,
             fluid_viscosity=fluid_viscosity,
         )
