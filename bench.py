@@ -276,6 +276,39 @@ def bench_mujoco_ppo(E: int = 2048, T: int = 32, repeat: int = 4, batch: int = 1
 
 
 # ---------------------------------------------------------------------------
+def bench_physics_step(E: int = 2048, T: int = 64, iters: int = 4, task: str = "HalfCheetah"):
+    """Bare device-physics throughput: T vector-steps of E envs with uniform
+    random actions, no policy / no learner. Together with bench_mujoco_ppo
+    this splits the north-star pipeline cost into physics vs policy+update
+    (docs/03_benchmarks.md)."""
+    from tianshou_tpu.env import mujoco as dm
+    from tianshou_tpu.env.core import VectorDeviceEnv
+
+    venv = VectorDeviceEnv(getattr(dm, task)(), E)
+    key = jax.random.key(0)
+    key, kr = jax.random.split(key)
+    state, _ = venv.reset(kr)
+    nu = venv.env.action_space.shape[0]
+
+    def megastep(state, key):
+        def body(s, k):
+            ka, ks = jax.random.split(k)
+            act = jax.random.uniform(ka, (E, nu), minval=-1.0, maxval=1.0)
+            out = venv.step(s, act, ks)
+            return out.state, None
+
+        state, _ = jax.lax.scan(body, state, jax.random.split(key, T))
+        return state
+
+    steps_per_s, ms = _timed_scan(megastep, state, key, iters=iters, steps_per_iter=T * E)
+    return {
+        "env_steps_per_s": round(steps_per_s, 1),
+        "device_us_per_vector_step": round(ms / T * 1e3, 1),
+        "config": {"E": E, "T": T, "task": task},
+    }
+
+
+# ---------------------------------------------------------------------------
 def bench_mlp_ppo(E: int = 4096, T: int = 128, repeat: int = 4, batch: int = 16384, iters: int = 8):
     from tianshou_tpu.algorithm.modelfree.ppo import PPO
     from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
@@ -320,7 +353,8 @@ def bench_mlp_ppo(E: int = 4096, T: int = 128, repeat: int = 4, batch: int = 163
 def main() -> None:
     results = {}
     for name, fn in [("atari_cnn", bench_atari_cnn), ("atari_update_burst", bench_atari_update_burst),
-                     ("mujoco_ppo", bench_mujoco_ppo), ("mlp_ppo", bench_mlp_ppo)]:
+                     ("mujoco_ppo", bench_mujoco_ppo), ("physics_step", bench_physics_step),
+                     ("mlp_ppo", bench_mlp_ppo)]:
         try:
             results[name] = fn()
         except Exception as e:  # keep the headline even if one workload fails

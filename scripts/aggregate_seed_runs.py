@@ -1,0 +1,73 @@
+"""Aggregate the seed-queue results into reference-protocol table rows.
+
+Reads examples/benchmark/results/seed_runs.jsonl (one line per seed run,
+written by examples/benchmark/seed_queue.py), groups by row name, and
+prints a markdown table with mean±std over seeds plus IQM and a 95%
+stratified-bootstrap CI (tianshou_tpu.evaluation.rliable_evaluation —
+the reference's newer benchmark protocol, docs/04_benchmarks/benchmarks.rst).
+
+Usage::
+
+    python scripts/aggregate_seed_runs.py [--results PATH]
+"""
+
+import argparse
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tianshou_tpu.evaluation.rliable_evaluation import iqm, stratified_bootstrap_ci
+
+# reference rows: max avg return over trials +- std at 1M (BASELINE.md,
+# /root/reference/examples/mujoco/README.md). Key = "<algo>_<Task>".
+REFERENCE = {
+    "sac_HalfCheetah": (12138.8, 1049.3), "sac_Hopper": (3542.2, 51.5),
+    "sac_Walker2d": (5007.0, 251.5), "sac_Ant": (5850.2, 475.7),
+    "sac_Swimmer": (44.4, 0.5), "sac_Humanoid": (5488.5, 81.2),
+    "td3_HalfCheetah": (10201.2, 772.8), "td3_Hopper": (3472.2, 116.8),
+    "td3_Walker2d": (3982.4, 274.5), "td3_Ant": (5116.4, 799.9),
+    "td3_Humanoid": (5189.5, 178.5),
+    "ddpg_HalfCheetah": (11718.7, 465.6),
+    "redq_Hopper": (2748.0, 239.0),  # README redq row
+    "ppo_HalfCheetah": (5783.9, 1244.0), "ppo3m_HalfCheetah": (7337.4, 1508.2),
+    "a2c_HalfCheetah": (2377.3, 1363.7),   # reference protocol: 3M
+    "trpo_HalfCheetah": (4471.2, 804.9), "npg_HalfCheetah": (3485.2, 716.6),
+    "reinforce_HalfCheetah": (1138.8, 104.7),  # reference protocol: 10M
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--results", default="examples/benchmark/results/seed_runs.jsonl")
+    p.add_argument("--latest-per-seed", action="store_true", default=True,
+                   help="keep only the newest run per (name, seed)")
+    args = p.parse_args()
+
+    rows: dict[str, dict[int, float]] = defaultdict(dict)
+    for line in Path(args.results).read_text().splitlines():
+        if not line.strip():
+            continue
+        r = json.loads(line)
+        rows[r["name"]][int(r["seed"])] = float(r["best_reward"])  # newest wins
+
+    print("| row | seeds | mean ± std | IQM [95% CI] | reference (mean ± std) |")
+    print("|---|---|---|---|---|")
+    for name in sorted(rows):
+        scores = np.array([rows[name][s] for s in sorted(rows[name])])
+        m, sd = scores.mean(), scores.std(ddof=1) if len(scores) > 1 else 0.0
+        # stratified bootstrap over runs: score matrix [n_runs, 1 task]
+        mat = scores[:, None]
+        lo, hi = stratified_bootstrap_ci(mat)
+        ref = REFERENCE.get(name)
+        ref_s = f"{ref[0]:,.1f} ± {ref[1]:,.1f}" if ref else "—"
+        print(f"| {name} | {len(scores)} | {m:,.1f} ± {sd:,.1f} | "
+              f"{iqm(mat):,.1f} [{lo:,.1f}, {hi:,.1f}] | {ref_s} |")
+
+
+if __name__ == "__main__":
+    main()
