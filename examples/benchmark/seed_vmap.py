@@ -119,6 +119,7 @@ def run_multiseed(
     test_episodes: int = 10,
     verbose: bool = True,
     env_overrides: dict | None = None,
+    save_params: str | None = None,
 ) -> list[dict]:
     """Train ``len(seeds)`` agents simultaneously; returns one result dict
     per seed: {seed, best_reward, curve: [(env_step, reward), ...]}."""
@@ -238,6 +239,14 @@ def run_multiseed(
                   f"rewards {np.round(rews, 1).tolist()} best {np.round(best, 1).tolist()} "
                   f"({per_s:,.0f} agent-steps/s)", flush=True)
     wall = time.time() - t0
+    if save_params:
+        import pickle
+
+        with open(save_params, "wb") as f:
+            pickle.dump({"algo": algo_name, "task": task, "seeds": list(seeds),
+                         "tss": jax.device_get(tss)}, f)
+        if verbose:
+            print(f"[seed_vmap] saved final TrainStates -> {save_params}", flush=True)
     return [
         {"seed": int(s), "best_reward": float(best[i]), "env_step": int(env_step),
          "curve": curves[i], "wall_s": round(wall, 1),
