@@ -129,11 +129,15 @@ def potential_energy(model: Model, q: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(jnp.asarray(model.body_mass) * (pcom @ g))
 
 
-def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
-    """M(q) assembled from body Jacobians: one ``jacfwd`` of FK gives
+def mass_matrix_fk(model: Model, q: jnp.ndarray):
+    """(M, pcom, R, dp, dR): the mass matrix plus the FK values and
+    Jacobians it was assembled from — ONE ``jacfwd`` of FK gives
     J_v (COM linear) and J_omega (angular) per body, then
     M = sum_b m J_v^T J_v + J_w^T I_world J_w + diag(armature).
-    Equals hessian_qd(T) exactly but costs only forward-mode passes."""
+    Equals hessian_qd(T) exactly but costs only forward-mode passes.
+    The FK Jacobians are returned so the contact solver can build contact-
+    point Jacobians from them instead of running a second jacfwd pass
+    (see _contact_forces_constraint)."""
     pcom, R = _fk_com(model, q)
     dp, dR = jax.jacfwd(lambda q_: _fk_com(model, q_))(q)  # [nb,3,n], [nb,3,3,n]
     # J_omega[:, :, i] = vee(dR[..., i] @ R^T)
@@ -145,7 +149,12 @@ def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
     I_world = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(model.body_inertia), R)
     M = jnp.einsum("b,bin,bim->nm", mass, dp, dp)
     M = M + jnp.einsum("bin,bij,bjm->nm", Jw, I_world, Jw)
-    return M + jnp.diag(jnp.asarray(_armature(model)))
+    return M + jnp.diag(jnp.asarray(_armature(model))), pcom, R, dp, dR
+
+
+def mass_matrix(model: Model, q: jnp.ndarray) -> jnp.ndarray:
+    """M(q); see mass_matrix_fk."""
+    return mass_matrix_fk(model, q)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +319,8 @@ def _sol_kb(solref: jnp.ndarray, solimp: jnp.ndarray, pos: jnp.ndarray):
 
 
 def _contact_forces_constraint(
-    model: Model, q: jnp.ndarray, qd: jnp.ndarray, f_free: jnp.ndarray, M: jnp.ndarray
+    model: Model, q: jnp.ndarray, qd: jnp.ndarray, f_free: jnp.ndarray, M: jnp.ndarray,
+    fk=None,
 ) -> jnp.ndarray:
     """Generalized constraint force (plane contacts + joint limits) from
     MuJoCo's soft-constraint model.
@@ -344,8 +354,17 @@ def _contact_forces_constraint(
             pcom, R = _fk_com(model, q_)
             return pcom[cb] + jnp.einsum("cij,cj->ci", R[cb], e)
 
-        x, v = jax.jvp(xc, (q,), (qd,))
-        J = jax.jacfwd(xc)(q)  # [nc, 3, nq]
+        if fk is not None:
+            # reuse the FK values/Jacobians mass_matrix_fk already computed:
+            # x = p[cb] + R[cb] e,  J = dp[cb] + dR[cb] e,  v = J qd —
+            # identical math to jacfwd(xc), one full FK-jacfwd pass cheaper
+            pcom_, R_, dp_, dR_ = fk
+            x = pcom_[cb] + jnp.einsum("cij,cj->ci", R_[cb], e)
+            J = dp_[cb] + jnp.einsum("cijn,cj->cin", dR_[cb], e)  # [nc,3,nq]
+            v = jnp.einsum("cin,n->ci", J, qd)
+        else:
+            x, v = jax.jvp(xc, (q,), (qd,))
+            J = jax.jacfwd(xc)(q)  # [nc, 3, nq]
         # contact-point acceleration bias (Jdot qd)
         _, a_bias = jax.jvp(lambda q_: jax.jvp(xc, (q_,), (qd,))[1], (q,), (qd,))
 
@@ -473,7 +492,7 @@ def bias_force(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
 
 
 def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray, dt: float):
-    M = mass_matrix(model, q)
+    M, pcom, R, dp, dR = mass_matrix_fk(model, q)
     m_diag = jnp.diagonal(M)
     use_constraint = getattr(model, "contact_model", "penalty") == "constraint" and (
         len(model.contact_radius) > 0 or len(model.limit_q_idx) > 0
@@ -494,7 +513,8 @@ def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray
         # the solver's unconstrained acceleration a0 sees the damping force
         # explicitly (as MuJoCo's does); the integrator below still applies
         # damping implicitly, so it is NOT added to f itself
-        f = f + _contact_forces_constraint(model, q, qd, f - D * qd, M)
+        f = f + _contact_forces_constraint(model, q, qd, f - D * qd, M,
+                                           fk=(pcom, R, dp, dR))
     # semi-implicit Euler with IMPLICIT joint-space damping:
     # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D.
     # A is SPD (M is a mass matrix + armature, D >= 0) -> Cholesky solve.
