@@ -52,6 +52,21 @@ def _load_train(script: str):
 
 
 def _run_job(job: dict, results_path: Path) -> None:
+    if "cmd" in job:
+        # arbitrary script job (benchmarks, profilers): run as a subprocess
+        # so its backend/jit state can't leak into queued training jobs;
+        # stdout/stderr land next to the results file
+        import subprocess
+
+        log = results_path.parent / (job["name"] + ".log")
+        with log.open("w") as f:
+            subprocess.run(
+                [sys.executable, *job["cmd"]], cwd=_REPO, stdout=f,
+                stderr=subprocess.STDOUT, check=True,
+                timeout=job.get("timeout", 7200),
+            )
+        print(f"[seed_queue] cmd job {job['name']} done -> {log}", flush=True)
+        return
     if "vmap" in job:
         # seed-vmapped multi-seed run (see seed_vmap.py): all seeds train
         # simultaneously in one XLA program

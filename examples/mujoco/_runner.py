@@ -14,6 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
+def force_cpu() -> None:
+    """Pin JAX to the host CPU backend. The machine's sitecustomize
+    force-registers the tunneled TPU (``axon``) and ignores the
+    ``JAX_PLATFORMS`` env var, so ``--backend host`` runs that should not
+    contend for the single chip must call this before the first jax op."""
+    jax.config.update("jax_platforms", "cpu")
+
+
 def build_env(task: str, norm_obs: bool = False):
     from tianshou_tpu.env.mujoco import make
     from tianshou_tpu.env.wrappers import NormObs
@@ -140,7 +148,7 @@ def onpolicy_argparser(**defaults) -> argparse.ArgumentParser:
 def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
                        batch_size, start_steps, buffer_size=1_000_000,
                        chunk_len=8, update_per_step=1.0, test_episodes=10,
-                       verbose=True, logger=None, pipelined=False):
+                       verbose=True, logger=None, pipelined=False, overlap=False):
     """Same protocol as :func:`run_offpolicy` but on the REAL Gymnasium
     MuJoCo envs (requires the ``mujoco`` package) through the host
     collector — the exact benchmark environment of the reference tables.
@@ -190,7 +198,7 @@ def run_offpolicy_host(make_algo, task, seed, epochs, epoch_num_steps, num_envs,
         test_step_num_episodes=test_episodes, batch_size=batch_size,
         collection_step_num_env_steps=chunk_len, update_per_step=update_per_step,
         start_steps=start_steps, start_random=True, logger=logger,
-        verbose=verbose, seed=seed,
+        verbose=verbose, seed=seed, overlap_updates=overlap,
     )
     t0 = time.time()
     result = HostOffPolicyTrainer(algo, tc, ec, buffer, params).run(ts, buf_state, key)

@@ -148,6 +148,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--backend", choices=["device", "host"], default="device",
                    help="device = TPU physics core; host = REAL Gymnasium MuJoCo envs")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin JAX to the CPU backend (host runs that must not contend for the chip)")
     p.add_argument("--task", default="HalfCheetah")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=30)
@@ -159,5 +161,9 @@ if __name__ == "__main__":
     p.add_argument("--lr", type=float, default=3e-4)
     args = p.parse_args()
     kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
+    if kw.pop("cpu"):
+        from _runner import force_cpu
+
+        force_cpu()
     backend = kw.pop("backend")
     (train_host if backend == "host" else train)(**kw)

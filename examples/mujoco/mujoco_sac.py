@@ -101,6 +101,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--backend", choices=["device", "host"], default="device",
                    help="device = TPU physics core; host = REAL Gymnasium MuJoCo envs")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin JAX to the CPU backend (host runs that must not contend for the chip)")
     p.add_argument("--task", default="HalfCheetah")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=50)
@@ -111,6 +113,10 @@ if __name__ == "__main__":
     p.add_argument("--start-steps", type=int, default=10_000)
     args = p.parse_args()
     kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
+    if kw.pop("cpu"):
+        from _runner import force_cpu
+
+        force_cpu()
     if kw["alpha"] != "auto":
         kw["alpha"] = float(kw["alpha"])
     backend = kw.pop("backend")

@@ -82,7 +82,12 @@ def main():
     args = p.parse_args()
 
     blob = pickle.load(open(args.params, "rb"))
-    algo_name, task, seeds, tss = blob["algo"], blob["task"], blob["seeds"], blob["tss"]
+    algo_name, task = blob["algo"], blob["task"]
+    if "tss" in blob:  # seed_vmap stacked states
+        seeds, tss = blob["seeds"], blob["tss"]
+    else:  # single TrainState (host-path pickle)
+        seeds = [blob.get("seed", 0)]
+        tss = jax.tree.map(lambda a: np.asarray(a)[None], blob["ts"])
 
     from seed_vmap import ALGOS
 

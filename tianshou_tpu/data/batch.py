@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Batch"]
+__all__ = ["Batch", "create_value", "alloc_by_keys_diff"]
 
 _ARRAY_TYPES = (np.ndarray, jax.Array)
 
@@ -673,6 +673,40 @@ class Batch:
 
 
 # ---------------- pytree registration ----------------
+
+def create_value(inst: Any, size: int, stack: bool = True) -> Any:
+    """Allocate a zeroed container shaped for ``size`` rows of ``inst``
+    (reference batch.py ``create_value``:147): with ``stack=True`` the rows
+    are ``inst``-shaped (``(size, *inst.shape)``); with ``stack=False``
+    ``inst`` already carries a leading batch dim that ``size`` replaces.
+    Batches recurse per key."""
+    if isinstance(inst, Batch):
+        out = Batch()
+        for k, v in inst.items():
+            out[k] = create_value(v, size, stack)
+        return out
+    arr = jnp.asarray(inst) if isinstance(inst, jax.Array) else np.asarray(inst)
+    shape = (size, *arr.shape) if stack else (size, *arr.shape[1:])
+    zeros = jnp.zeros if isinstance(inst, jax.Array) else np.zeros
+    dtype = arr.dtype if arr.dtype != object else None
+    return zeros(shape, dtype)
+
+
+def alloc_by_keys_diff(meta: Batch, batch: Batch, size: int, stack: bool = True) -> None:
+    """Create placeholders inside ``meta`` for keys present in ``batch`` but
+    not in ``meta`` (reference batch.py ``alloc_by_keys_diff``:230, used by
+    the reference buffer to grow ``_meta`` on first add of a new key)."""
+    for key in batch.keys():
+        if key in meta.keys():
+            mv, bv = meta[key], batch[key]
+            if isinstance(mv, Batch) and isinstance(bv, Batch):
+                if len(mv.keys()) == 0:
+                    meta[key] = create_value(bv, size, stack)
+                else:
+                    alloc_by_keys_diff(mv, bv, size, stack)
+        else:
+            meta[key] = create_value(batch[key], size, stack)
+
 
 def _batch_flatten(b: Batch):
     keys = tuple(b._d.keys())

@@ -39,6 +39,11 @@ class HostCollector:
         self._forward_jit: dict = {}
         self._add_jit = None
         self._key_pool: list = []
+        # optional per-vector-step callback ``hook(n_env_steps)`` used by
+        # HostOffPolicyTrainer's overlapped mode to dispatch async gradient
+        # steps while the (subprocess) envs are busy stepping — the host
+        # analogue of the device trainer's fused collect+update megastep
+        self.step_hook = None
         # vector (multi-agent) episode returns -> scalar for stats
         # (reference multi_agent_return_reduction, trainer.py:81)
         self.return_reduction = return_reduction if return_reduction is not None else (
@@ -165,6 +170,8 @@ class HostCollector:
             self._ep_rew += rew * act_bc
             self._ep_len += active.astype(np.int64)
             step_count += int(active.sum())
+            if self.step_hook is not None and training and not random:
+                self.step_hook(int(active.sum()))
 
             if done.any():
                 done_ids = np.where(done & active)[0]

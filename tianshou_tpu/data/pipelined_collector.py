@@ -157,7 +157,10 @@ class PipelinedHostCollector(HostCollector):
         # steady state: LAUNCH the idle group (forward + send) BEFORE
         # absorbing the oldest in-flight one, so both env halves step
         # concurrently while the device forward and the buffer scatter of
-        # the absorbed half overlap them
+        # the absorbed half overlap them.  The step_hook fires right after
+        # a send — BOTH env halves are stepping in their subprocesses at
+        # that point, so async device work it dispatches (gradient steps)
+        # executes inside the env-compute window.
         while in_flight:
             launched = step_count + sum(len(groups[g]) for g in in_flight)
             if launched < n_step:
@@ -165,6 +168,8 @@ class PipelinedHostCollector(HostCollector):
                 self._send_group(groups[next_g], act_o)
                 raws[next_g] = np.asarray(raw_o)
                 in_flight.append(next_g)
+                if self.step_hook is not None and training:
+                    self.step_hook(len(groups[next_g]))
                 next_g = 1 - next_g
             g = in_flight.pop(0)
             absorb(groups[g], raws[g])

@@ -23,6 +23,7 @@ import numpy as np
 
 from tianshou_tpu import config
 from tianshou_tpu.data.batch import Batch
+from tianshou_tpu.utils.print import DataclassPPrintMixin
 from tianshou_tpu.data.collector import CollectStats, DeviceCollector
 from tianshou_tpu.utils.determinism import TraceLogger, trace_param_hash
 from tianshou_tpu.utils.statistics import MovAvg
@@ -42,7 +43,7 @@ __all__ = [
 
 
 @dataclasses.dataclass
-class TrainerParams:
+class TrainerParams(DataclassPPrintMixin):
     """Common knobs (reference trainer.py:81)."""
 
     max_epochs: int = 10
@@ -73,6 +74,14 @@ class OffPolicyTrainerParams(TrainerParams):
     # dispatches and XLA can overlap rollout and gradient work. Episode
     # stats still come back per chunk for logging.
     fused_megastep: bool = False
+    # HOST path only: dispatch gradient steps asynchronously from the
+    # collector's per-step hook so the device chews updates while the
+    # (subprocess) envs step — wall time per chunk approaches
+    # max(collect, update) instead of collect + update. Actor params stay
+    # chunk-stale exactly like the sequential loop; updates sample the
+    # buffer as it fills (per-step interleaving, the reference's own
+    # update_per_step semantics at a finer grain).
+    overlap_updates: bool = False
 
 
 @dataclasses.dataclass
@@ -89,7 +98,7 @@ class OfflineTrainerParams(TrainerParams):
 
 
 @dataclasses.dataclass
-class TrainResult:
+class TrainResult(DataclassPPrintMixin):
     """Summary, mirroring reference InfoStats (data/stats.py:83)."""
 
     best_score: float
@@ -728,6 +737,14 @@ class HostOffPolicyTrainer(_TrainerBase):
             return ts, buf_state, stats
 
         update_fn = jax.jit(update_many)
+        # overlapped mode: ONE gradient step per jitted call, dispatched
+        # async from the collector's step hook while envs are stepping.
+        # buf_state is donated (the add/update chain is strictly linear);
+        # ts is NOT (the chunk's forwards still read the chunk-start ts).
+        upd_one = jax.jit(
+            lambda ts, bs, k: algo.update(ts, buffer, bs, k, p.batch_size),
+            donate_argnums=(1,),
+        )
 
         stop = False
         epoch = self.start_epoch
@@ -739,8 +756,43 @@ class HostOffPolicyTrainer(_TrainerBase):
                     ts = self._apply_hparams(ts, p.train_fn(epoch, self.env_step))
                 key, k = _split_host(key)
                 t_c = time.time()
-                stats = tc.collect(ts, k, n_step=T)
-                collect_time += time.time() - t_c
+                if p.overlap_updates:
+                    key, ku = _split_host(key)
+                    # one split dispatch buys the whole chunk's update keys
+                    upd_keys = jax.random.split(ku, n_updates)
+                    st = {"ts": ts, "pend": 0.0, "n": 0, "stats": None}
+
+                    def hook(n_env_steps: int) -> None:
+                        st["pend"] += p.update_per_step * n_env_steps
+                        while st["pend"] >= 1.0 and st["n"] < n_updates:
+                            st["pend"] -= 1.0
+                            st["ts"], tc.buf_state, st["stats"] = upd_one(
+                                st["ts"], tc.buf_state, upd_keys[st["n"]]
+                            )
+                            st["n"] += 1
+
+                    tc.step_hook = hook
+                    try:
+                        stats = tc.collect(ts, k, n_step=T)
+                    finally:
+                        tc.step_hook = None
+                    # flush the rounding remainder so the chunk's gradient
+                    # cadence matches the sequential loop exactly
+                    while st["n"] < n_updates:
+                        st["ts"], tc.buf_state, st["stats"] = upd_one(
+                            st["ts"], tc.buf_state, upd_keys[st["n"]]
+                        )
+                        st["n"] += 1
+                    collect_time += time.time() - t_c
+                    t_u = time.time()
+                    ts, upd_stats = st["ts"], st["stats"]
+                    # residual sync: ~0 when the env-step window fully hid
+                    # the update work — the overlap shows up as this gap
+                    jax.block_until_ready(ts)
+                    update_time += time.time() - t_u
+                else:
+                    stats = tc.collect(ts, k, n_step=T)
+                    collect_time += time.time() - t_c
                 if config.ENABLE_VALIDATION:
                     # probe the live transition state the collector just
                     # wrote (obs + episode returns) — the off-policy path
@@ -754,11 +806,12 @@ class HostOffPolicyTrainer(_TrainerBase):
                     p.logger.log_train_data(
                         {"train/reward": float(stats.returns.mean())}, self.env_step
                     )
-                key, k = _split_host(key)
-                t_u = time.time()
-                ts, tc.buf_state, upd_stats = update_fn(ts, tc.buf_state, k)
-                jax.block_until_ready(ts)
-                update_time += time.time() - t_u
+                if not p.overlap_updates:
+                    key, k = _split_host(key)
+                    t_u = time.time()
+                    ts, tc.buf_state, upd_stats = update_fn(ts, tc.buf_state, k)
+                    jax.block_until_ready(ts)
+                    update_time += time.time() - t_u
                 self.gradient_step += n_updates
                 self._ts = ts
                 self._log_update(upd_stats)

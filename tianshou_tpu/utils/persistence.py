@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import json
 import numpy as np
 
 from tianshou_tpu.data.batch import Batch
@@ -62,6 +63,9 @@ def _write_tree(group, name: str, tree: Any) -> None:
     elif isinstance(tree, Batch):
         sub = group.create_group(name)
         sub.attrs["__type__"] = "Batch"
+        # preserve key order: Batch key order is part of the pytree treedef,
+        # so a load that alphabetizes keys would not match the live jit cache
+        sub.attrs["__keys__"] = json.dumps(list(tree.keys()))
         for k, v in tree.items():
             _write_tree(sub, k, v)
     else:
@@ -87,8 +91,10 @@ def _read_tree(node, to_device: bool = True) -> Any:
     if isinstance(node, h5py.Group):
         typ = node.attrs.get("__type__", "Batch")
         if typ == "Batch":
+            keys = node.attrs.get("__keys__")
+            order = json.loads(keys) if keys is not None else list(node)
             b = Batch()
-            for k in node:
+            for k in order:
                 b[k] = _read_tree(node[k], to_device)
             return b.to_jax() if to_device else b
         cls = _state_type(typ)
