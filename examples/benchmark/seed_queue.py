@@ -115,7 +115,14 @@ def main() -> None:
     p.add_argument("--idle-timeout", type=float, default=900.0,
                    help="exit after the queue has been empty this long (s)")
     p.add_argument("--poll", type=float, default=15.0)
+    p.add_argument("--run-one", default=None,
+                   help="(internal) execute this one job file and exit")
     args = p.parse_args()
+
+    if args.run_one:
+        jobfile = Path(args.run_one)
+        _run_job(json.loads(jobfile.read_text()), _REPO / args.results)
+        return
 
     qdir = _REPO / args.queue
     done = qdir / "done"
@@ -141,7 +148,16 @@ def main() -> None:
             seeds = job.get("seeds") or job.get("vmap", {}).get("seeds")
             print(f"[seed_queue] start {jobfile.name}: {job['name']} seeds={seeds}",
                   flush=True)
-            _run_job(job, results_path)
+            # each job runs in a fresh subprocess so edits to the framework
+            # land on the next job without restarting the queue runner (and
+            # one job's jit/backend state can't leak into the next)
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, __file__, "--run-one", str(jobfile),
+                 "--results", args.results],
+                check=True,
+            )
             jobfile.rename(done / jobfile.name)
         except Exception:
             tb = traceback.format_exc()

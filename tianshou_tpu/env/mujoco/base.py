@@ -89,7 +89,9 @@ class MujocoEnv(Env):
             q = q0 + jax.random.uniform(k1, (self.model.nq,), minval=-s, maxval=s)
             qd = jax.random.uniform(k2, (self.model.nq,), minval=-s, maxval=s)
         st = PhysState(q.astype(jnp.float32), qd.astype(jnp.float32), jnp.int32(0))
-        return st, self._obs(st.q, st.qd)
+        with jax.default_matmul_precision("float32"):
+            obs = self._obs(st.q, st.qd)
+        return st, obs
 
     def step(self, state: PhysState, action: jnp.ndarray, key: jax.Array) -> EnvStep:
         a = jnp.clip(
@@ -100,11 +102,16 @@ class MujocoEnv(Env):
         q1, qd1 = dyn.step(self.model, state.q, state.qd, a, frame_skip=self.frame_skip, substeps=self.substeps)
         t = state.t + 1
         new = PhysState(q1, qd1, t)
-        rew = self._reward(state.q, state.qd, q1, qd1, a)
-        terminated = self._terminated(q1, qd1)
+        # reward/obs hooks run FK/rotation matmuls too — keep them at true
+        # fp32 like dynamics.step (TPU's default bf16 multiplicands corrupt
+        # the physics-scale quantities; see dynamics.step)
+        with jax.default_matmul_precision("float32"):
+            rew = self._reward(state.q, state.qd, q1, qd1, a)
+            terminated = self._terminated(q1, qd1)
+            obs = self._obs(q1, qd1)
         return EnvStep(
             state=new,
-            obs=self._obs(q1, qd1),
+            obs=obs,
             reward=jnp.float32(rew),
             terminated=terminated,
             truncated=(t >= self.max_episode_steps) & ~terminated,

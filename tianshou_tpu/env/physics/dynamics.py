@@ -598,7 +598,14 @@ def step(
             q, qd = _remap_free_rotations(model, q, qd)
         return (q, qd), None
 
-    (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n)
+    # Pin every matmul in the dynamics to true fp32: TPU matmuls default to
+    # bf16 multiplicands (8-bit mantissa), which is fine for neural nets but
+    # corrupts the small-force balance the physics depends on (Swimmer's
+    # viscous propulsion is O(1e-2) against O(1) inertia terms; trained
+    # returns cap at ~half the reference under default precision). The
+    # matrices here are tiny (nq<=23), so fp32 costs nothing measurable.
+    with jax.default_matmul_precision("float32"):
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=n)
     return q, qd
 
 
