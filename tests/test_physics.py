@@ -196,3 +196,25 @@ def test_hopper_healthy_termination():
             terminated = True
             break
     assert terminated
+
+
+def test_physics_step_pins_fp32_matmul_precision():
+    """Every dot in a device-env step must carry Precision.HIGHEST: the TPU
+    backend lowers default-precision fp32 matmuls to bf16 multiplicands,
+    which corrupts the dynamics (measured: scripted-gait Swimmer drifted to
+    x=1.455 vs real MuJoCo 0.337 on-chip before the pin in dynamics.step).
+    This guard is CPU-runnable because the precision attribute is part of
+    the traced jaxpr, not the backend."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from tianshou_tpu.env import mujoco as dm
+
+    env = dm.Swimmer()
+    st, _ = env.reset(jax.random.key(0))
+    txt = str(jax.make_jaxpr(lambda s, a, k: env.step(s, a, k))(st, jnp.zeros(2), jax.random.key(0)))
+    n_dots = txt.count("dot_general")
+    n_highest = len(re.findall(r"precision=\(Precision.HIGHEST, Precision.HIGHEST\)", txt))
+    assert n_dots > 0 and n_highest == n_dots, (n_dots, n_highest)
