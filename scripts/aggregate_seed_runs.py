@@ -40,6 +40,14 @@ REFERENCE = {
     "reinforce_HalfCheetah": (1138.8, 104.7),  # reference protocol: 10M
 }
 
+# rows whose REFERENCE number comes from a longer-than-1M protocol (the
+# on-policy family tables: /root/reference/examples/mujoco/README.md:181-394);
+# our queue rows are 1M unless the name says otherwise
+REFERENCE_PROTOCOL = {
+    "a2c_HalfCheetah": "3M", "npg_HalfCheetah": "3M", "trpo_HalfCheetah": "3M",
+    "reinforce_HalfCheetah": "10M", "ppo3m_HalfCheetah": "3M",
+}
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -64,7 +72,10 @@ def main() -> None:
         mat = scores[:, None]
         lo, hi = stratified_bootstrap_ci(mat)
         ref = REFERENCE.get(name)
+        proto = REFERENCE_PROTOCOL.get(name)
         ref_s = f"{ref[0]:,.1f} ± {ref[1]:,.1f}" if ref else "—"
+        if ref and proto:
+            ref_s += f" (at {proto})"
         print(f"| {name} | {len(scores)} | {m:,.1f} ± {sd:,.1f} | "
               f"{iqm(mat):,.1f} [{lo:,.1f}, {hi:,.1f}] | {ref_s} |")
 
