@@ -180,10 +180,15 @@ class HostCollector:
                     ep_lens.append(int(self._ep_len[i]))
                     self._ep_rew[i] = 0.0
                     self._ep_len[i] = 0
-                if len(done_ids) > 0:
-                    reset_obs, _ = self.venv.reset(id=done_ids.tolist())
+                # reset EVERY done env, active or not: surplus-deactivated
+                # envs keep being stepped each iteration, and stepping a
+                # finished env is an error for strict envs (PettingZoo AEC
+                # raises on dead-agent steps); only active ones are counted
+                all_done_ids = np.where(done)[0]
+                if len(all_done_ids) > 0:
+                    reset_obs, _ = self.venv.reset(id=all_done_ids.tolist())
                     reset_obs = self._to_obs(reset_obs)
-                    obs_next[done_ids.tolist() if isinstance(obs_next, Batch) else done_ids] = reset_obs
+                    obs_next[all_done_ids.tolist() if isinstance(obs_next, Batch) else all_done_ids] = reset_obs
                 if n_episode is not None:
                     remaining = n_episode - len(ep_returns)
                     # deactivate surplus envs once enough episodes are running
