@@ -352,8 +352,15 @@ def bench_mlp_ppo(E: int = 4096, T: int = 128, repeat: int = 4, batch: int = 163
 
 def main() -> None:
     results = {}
+    from functools import partial
+
     for name, fn in [("atari_cnn", bench_atari_cnn), ("atari_update_burst", bench_atari_update_burst),
-                     ("mujoco_ppo", bench_mujoco_ppo), ("physics_step", bench_physics_step),
+                     ("mujoco_ppo", bench_mujoco_ppo),
+                     # env-count scaling: the physics substep chain is made of
+                     # small batched ops, so throughput rises with E until the
+                     # VPU saturates — this is the north-star configuration
+                     ("mujoco_ppo_16k", partial(bench_mujoco_ppo, E=16384, T=16, batch=65536, iters=2)),
+                     ("physics_step", bench_physics_step),
                      ("mlp_ppo", bench_mlp_ppo)]:
         try:
             results[name] = fn()

@@ -44,7 +44,9 @@ REFERENCE = {
 # on-policy family tables: /root/reference/examples/mujoco/README.md:181-394);
 # our queue rows are 1M unless the name says otherwise
 REFERENCE_PROTOCOL = {
-    "a2c_HalfCheetah": "3M", "npg_HalfCheetah": "3M", "trpo_HalfCheetah": "3M",
+    # README table budgets: REINFORCE 10M (:181), A2C 3M (:239), PPO 1M/3M
+    # (:294/:306), TRPO 1M (:348), NPG 1M (:384)
+    "a2c_HalfCheetah": "3M",
     "reinforce_HalfCheetah": "10M", "ppo3m_HalfCheetah": "3M",
 }
 

@@ -112,6 +112,26 @@ def main():
     print(f"full env step (fs={env.frame_skip}, {sub_per_step} substeps): {t_f*1e3:8.3f} ms")
     print(f"=> bare-physics env-steps/s at E={E}: {E/t_f:,.0f}")
 
+    # env-count scaling sweep: if the substep chain is latency-bound (many
+    # tiny batched ops) rather than FLOP-bound, throughput keeps rising with
+    # E until the vector units saturate — the honest way to size the
+    # north-star projection (docs/03_benchmarks.md)
+    print("\nE-sweep (full env step):")
+    for Es in (1024, 4096, 16384, 65536):
+        if Es == E:
+            t = t_f
+        else:
+            ks = jax.random.key(Es)
+            qs = jnp.tile(q0[None], (Es, 1)) + 0.01 * jax.random.normal(ks, (Es, model.nq))
+            qds = 0.1 * jax.random.normal(ks, (Es, model.nq))
+            try:
+                t = timed(full_step, (qs, qds), max(2, args.iters // 16))
+            except Exception as e:  # OOM at the top end is informative, not fatal
+                print(f"  E={Es:6d}: failed ({type(e).__name__})")
+                continue
+        print(f"  E={Es:6d}: {t*1e3:8.3f} ms/step  {Es/t:12,.0f} env-steps/s  "
+              f"{t/Es*1e9:7.1f} ns/env-step")
+
 
 if __name__ == "__main__":
     main()
