@@ -150,13 +150,17 @@ def main() -> None:
                   flush=True)
             # each job runs in a fresh subprocess so edits to the framework
             # land on the next job without restarting the queue runner (and
-            # one job's jit/backend state can't leak into the next)
+            # one job's jit/backend state can't leak into the next). The
+            # watchdog timeout guards against a wedged TPU-tunnel RPC (seen
+            # in the wild: a run blocked forever mid-epoch while a fresh
+            # process could still reach the chip).
             import subprocess
 
             subprocess.run(
                 [sys.executable, __file__, "--run-one", str(jobfile),
                  "--results", args.results],
                 check=True,
+                timeout=job.get("timeout", 5400),
             )
             jobfile.rename(done / jobfile.name)
         except Exception:
