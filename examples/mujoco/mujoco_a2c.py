@@ -23,9 +23,11 @@ def make_algo(env):
     )
 
 
-train = make_train(make_algo, rollout_len=16, batch_size=4096, repeat=1)
+# reference cadence: one full-batch update per 80 collected steps over 16
+# envs (collection_step_num_env_steps=80, reference mujoco_a2c.py:38)
+train = make_train(make_algo, rollout_len=5, batch_size=4096, repeat=1, num_envs=16)
 
 
 if __name__ == "__main__":
-    args = onpolicy_argparser(rollout_len=16, batch_size=4096, repeat=1)
+    args = onpolicy_argparser(rollout_len=5, batch_size=4096, repeat=1, num_envs=16)
     run_onpolicy(make_algo, **{k.replace("-", "_"): v for k, v in vars(args.parse_args()).items()})

@@ -24,9 +24,11 @@ def make_algo(env):
     )
 
 
-train = make_train(make_algo, rollout_len=64, batch_size=16384, repeat=1, num_envs=256)
+# reference cadence: ONE trust-region step per 1024 collected steps over 16
+# envs (collection_step_num_env_steps=1024, reference mujoco_trpo.py:40)
+train = make_train(make_algo, rollout_len=64, batch_size=16384, repeat=1, num_envs=16)
 
 
 if __name__ == "__main__":
-    args = onpolicy_argparser(rollout_len=64, batch_size=16384, repeat=1, num_envs=256)
+    args = onpolicy_argparser(rollout_len=64, batch_size=16384, repeat=1, num_envs=16)
     run_onpolicy(make_algo, **{k.replace("-", "_"): v for k, v in vars(args.parse_args()).items()})
