@@ -217,4 +217,8 @@ def test_physics_step_pins_fp32_matmul_precision():
     txt = str(jax.make_jaxpr(lambda s, a, k: env.step(s, a, k))(st, jnp.zeros(2), jax.random.key(0)))
     n_dots = txt.count("dot_general")
     n_highest = len(re.findall(r"precision=\(Precision.HIGHEST, Precision.HIGHEST\)", txt))
-    assert n_dots > 0 and n_highest == n_dots, (n_dots, n_highest)
+    # The dynamics now express every tiny contraction as mul+reduce (VPU
+    # native fp32, no MXU tile padding — see env/physics/linalg.py), so the
+    # ideal jaxpr has ZERO dot_generals; any residual dot must carry the
+    # fp32 pin.
+    assert n_highest == n_dots, (n_dots, n_highest)

@@ -75,7 +75,8 @@ def axis_angle_mat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues rotation about a (unit) axis by ``angle``."""
     k = hat(axis)
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3) + s * k + (1.0 - c) * (k @ k)
+    kk = (k[:, :, None] * k[None, :, :]).sum(1)  # k @ k, no dot_general
+    return jnp.eye(3) + s * k + (1.0 - c) * kk
 
 
 def rotvec_to_mat(r: jnp.ndarray) -> jnp.ndarray:
@@ -84,16 +85,17 @@ def rotvec_to_mat(r: jnp.ndarray) -> jnp.ndarray:
     Uses the sinc-style Rodrigues form that stays smooth (and correctly
     differentiable) at r -> 0.
     """
-    t2 = jnp.dot(r, r)
+    t2 = (r * r).sum()
     t = jnp.sqrt(t2 + _EPS)
     k = hat(r)
     a = jnp.sin(t) / t                 # ~1 - t^2/6
     b = (1.0 - jnp.cos(t)) / (t2 + _EPS)  # ~1/2 - t^2/24
-    return jnp.eye(3) + a * k + b * (k @ k)
+    kk = (k[:, :, None] * k[None, :, :]).sum(1)
+    return jnp.eye(3) + a * k + b * kk
 
 
 def rotvec_to_quat(r: jnp.ndarray) -> jnp.ndarray:
-    t = jnp.sqrt(jnp.dot(r, r) + _EPS)
+    t = jnp.sqrt((r * r).sum() + _EPS)
     half = 0.5 * t
     axis_scaled = r * (jnp.sin(half) / t)
     return jnp.concatenate([jnp.cos(half)[None], axis_scaled])

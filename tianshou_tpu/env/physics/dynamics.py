@@ -29,7 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from tianshou_tpu.env.physics.algebra import axis_angle_mat, hat, quat_to_mat, rotvec_to_mat
+from tianshou_tpu.env.physics.linalg import chol, chol_solve, inv3, mm, mv
 from tianshou_tpu.env.physics.model import FREE, HINGE, SLIDE, Model
+
+# TPU note: every contraction in this module is written as broadcast-
+# multiply-reduce (linalg.mv/mm or explicit mul+sum) rather than
+# einsum/@/dot_general, and the SPD solves use the unrolled small-matrix
+# Cholesky in linalg.py. On TPU the dot_general path tiles each tiny
+# (3..23-wide) contraction onto the 128-lane MXU (plus a 6-pass emulation
+# under the fp32 pin) and the LAPACK-style batched Cholesky costs ~3 ms at
+# [2048, 9, 9]; the mul+reduce/unrolled forms run on the VPU in native fp32
+# (measured 2.5x for the mass matrix, scripts/physics_stage_probe.py).
 
 __all__ = ["forward_kinematics", "kinetic_energy", "mass_matrix", "step", "init_state"]
 
@@ -55,18 +65,18 @@ def forward_kinematics(model: Model, q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
                 pp, Rp = jnp.zeros(3), jnp.eye(3)
             else:
                 pp, Rp = ps[par], Rs[par]
-            pb = pp + Rp @ jnp.asarray(model.body_pos[b])
-            Rb = Rp @ jnp.asarray(quat_np(model.body_quat[b]))
+            pb = pp + mv(Rp, jnp.asarray(model.body_pos[b]))
+            Rb = mm(Rp, jnp.asarray(quat_np(model.body_quat[b])))
             for j in joints:
                 qi = q[j.q_idx] - j.ref
                 axis = jnp.asarray(j.axis)
                 if j.jtype == SLIDE:
-                    pb = pb + Rb @ (axis * qi)
+                    pb = pb + mv(Rb, axis * qi)
                 else:  # HINGE about anchor j.pos
                     Rj = axis_angle_mat(axis, qi)
                     anchor = jnp.asarray(j.pos)
-                    pb = pb + Rb @ (anchor - Rj @ anchor)
-                    Rb = Rb @ Rj
+                    pb = pb + mv(Rb, anchor - mv(Rj, anchor))
+                    Rb = mm(Rb, Rj)
         ps.append(pb)
         Rs.append(Rb)
     return jnp.stack(ps), jnp.stack(Rs)
@@ -87,14 +97,14 @@ def quat_np(q: np.ndarray) -> np.ndarray:
 def _fk_com(model: Model, q: jnp.ndarray):
     """COM world positions + body rotations (the vjp/jvp workhorse)."""
     p, R = forward_kinematics(model, q)
-    pcom = p + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.body_com))
+    pcom = p + mv(R, jnp.asarray(model.body_com))
     return pcom, R
 
 
 def _body_velocities(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
     """(pcom, R, vcom, omega) via one jvp of FK."""
     (pcom, R), (vcom, Rd) = jax.jvp(lambda q: _fk_com(model, q), (q,), (qd,))
-    W = jnp.einsum("bij,bkj->bik", Rd, R)  # Rd @ R^T, skew
+    W = (Rd[:, :, None, :] * R[:, None, :, :]).sum(-1)  # Rd @ R^T, skew
     omega = 0.5 * jnp.stack(
         [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
     )
@@ -107,12 +117,19 @@ def _body_velocities(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
 def kinetic_energy(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
     _, R, vcom, omega = _body_velocities(model, q, qd)
     m = jnp.asarray(model.body_mass)
-    I_world = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(model.body_inertia), R)
+    I_world = _inertia_world(model, R)
     T = 0.5 * jnp.sum(m * jnp.sum(vcom * vcom, axis=1))
-    T = T + 0.5 * jnp.einsum("bi,bij,bj->", omega, I_world, omega)
+    T = T + 0.5 * ((mv(I_world, omega) * omega).sum())
     # rotor/armature inertia per scalar dof (MuJoCo joint/@armature)
     arm = _armature(model)
     return T + 0.5 * jnp.sum(jnp.asarray(arm) * qd * qd)
+
+
+def _inertia_world(model: Model, R: jnp.ndarray) -> jnp.ndarray:
+    """R I R^T per body ([nb,3,3]) via mul+reduce (no dot_general)."""
+    I_body = jnp.asarray(model.body_inertia)
+    RI = (R[:, :, :, None] * I_body[:, None, :, :]).sum(2)      # R @ I
+    return (RI[:, :, None, :] * R[:, None, :, :]).sum(-1)       # (RI) @ R^T
 
 
 def _armature(model: Model) -> np.ndarray:
@@ -126,7 +143,7 @@ def _armature(model: Model) -> np.ndarray:
 def potential_energy(model: Model, q: jnp.ndarray) -> jnp.ndarray:
     pcom, _ = _fk_com(model, q)
     g = jnp.asarray(model.gravity)
-    return -jnp.sum(jnp.asarray(model.body_mass) * (pcom @ g))
+    return -jnp.sum(jnp.asarray(model.body_mass) * (pcom * g[None, :]).sum(-1))
 
 
 def mass_matrix_fk(model: Model, q: jnp.ndarray):
@@ -141,14 +158,15 @@ def mass_matrix_fk(model: Model, q: jnp.ndarray):
     pcom, R = _fk_com(model, q)
     dp, dR = jax.jacfwd(lambda q_: _fk_com(model, q_))(q)  # [nb,3,n], [nb,3,3,n]
     # J_omega[:, :, i] = vee(dR[..., i] @ R^T)
-    W = jnp.einsum("bijn,bkj->bikn", dR, R)
+    W = (dR[:, :, None, :, :] * R[:, None, :, :, None]).sum(3)   # bijn,bkj->bikn
     Jw = 0.5 * jnp.stack(
         [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
     )  # [nb, 3, n]
     mass = jnp.asarray(model.body_mass)
-    I_world = jnp.einsum("bij,bjk,blk->bil", R, jnp.asarray(model.body_inertia), R)
-    M = jnp.einsum("b,bin,bim->nm", mass, dp, dp)
-    M = M + jnp.einsum("bin,bij,bjm->nm", Jw, I_world, Jw)
+    I_world = _inertia_world(model, R)
+    M = (mass[:, None, None, None] * dp[:, :, :, None] * dp[:, :, None, :]).sum((0, 1))
+    IJw = (I_world[:, :, :, None] * Jw[:, None, :, :]).sum(2)    # I @ Jw
+    M = M + (Jw[:, :, :, None] * IJw[:, :, None, :]).sum((0, 1))
     return M + jnp.diag(jnp.asarray(_armature(model))), pcom, R, dp, dR
 
 
@@ -217,7 +235,7 @@ def _external_forces(
             cb = jnp.asarray(model.contact_body)
             off = jnp.asarray(model.contact_offset)
             p, Rb = forward_kinematics(model, q)
-            x = p[cb] + jnp.einsum("cij,cj->ci", Rb[cb], off)
+            x = p[cb] + mv(Rb[cb], off)
             out.append(x)
         return tuple(out)
 
@@ -230,7 +248,7 @@ def _external_forces(
     f_contact = None
 
     if has_fluid:
-        W = jnp.einsum("bij,bkj->bik", Rd, R)
+        W = (Rd[:, :, None, :] * R[:, None, :, :]).sum(-1)
         omega = 0.5 * jnp.stack(
             [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]], axis=1
         )
@@ -244,8 +262,8 @@ def _external_forces(
         )
         box = np.sqrt(box2)  # full edge lengths
         half = jnp.asarray(box / 2.0)
-        v_l = jnp.einsum("bji,bj->bi", R, vcom)  # world -> body
-        w_l = jnp.einsum("bji,bj->bi", R, omega)
+        v_l = (R * vcom[:, :, None]).sum(1)  # R^T v: world -> body
+        w_l = (R * omega[:, :, None]).sum(1)
         d_eq = jnp.asarray(box.mean(axis=1))
         mu = model.fluid_viscosity
         rho = model.fluid_density
@@ -267,8 +285,8 @@ def _external_forces(
                 axis=1,
             )
             T_l = T_l - 0.5 * rho * it * jnp.abs(w_l) * w_l
-        F_com = F_com + jnp.einsum("bij,bj->bi", R, F_l)
-        T_body = T_body + jnp.einsum("bij,bj->bi", R, T_l)
+        F_com = F_com + mv(R, F_l)
+        T_body = T_body + mv(R, T_l)
 
     if nc:
         x, v = prim[2], tangent[2]
@@ -287,7 +305,7 @@ def _external_forces(
         f_contact = jnp.concatenate([ft, fn[:, None]], axis=1)
 
     # power-conjugate cotangents: force on COM point, ½ hat(T) R on rotation
-    cot_R = 0.5 * jnp.einsum("bij,bjk->bik", _hat_batch(T_body), R)
+    cot_R = 0.5 * mm(_hat_batch(T_body), R)
     cots = [F_com, cot_R]
     if nc:
         cots.append(f_contact)
@@ -341,8 +359,8 @@ def _contact_forces_constraint(
     caller's vmap."""
     nc = len(model.contact_radius)
     nl = len(model.limit_q_idx)
-    chol = jax.scipy.linalg.cho_factor(M)
-    qdd0 = jax.scipy.linalg.cho_solve(chol, f_free)
+    L_M = chol(M)
+    qdd0 = chol_solve(L_M, f_free)
 
     J_rows, vel_rows, bias_rows, aref_rows, act_rows, R_rows = [], [], [], [], [], []
 
@@ -352,16 +370,16 @@ def _contact_forces_constraint(
 
         def xc(q_):
             pcom, R = _fk_com(model, q_)
-            return pcom[cb] + jnp.einsum("cij,cj->ci", R[cb], e)
+            return pcom[cb] + mv(R[cb], e)
 
         if fk is not None:
             # reuse the FK values/Jacobians mass_matrix_fk already computed:
             # x = p[cb] + R[cb] e,  J = dp[cb] + dR[cb] e,  v = J qd —
             # identical math to jacfwd(xc), one full FK-jacfwd pass cheaper
             pcom_, R_, dp_, dR_ = fk
-            x = pcom_[cb] + jnp.einsum("cij,cj->ci", R_[cb], e)
-            J = dp_[cb] + jnp.einsum("cijn,cj->cin", dR_[cb], e)  # [nc,3,nq]
-            v = jnp.einsum("cin,n->ci", J, qd)
+            x = pcom_[cb] + mv(R_[cb], e)
+            J = dp_[cb] + (dR_[cb] * e[:, None, :, None]).sum(2)  # [nc,3,nq]
+            v = (J * qd[None, None, :]).sum(-1)
         else:
             x, v = jax.jvp(xc, (q,), (qd,))
             J = jax.jacfwd(xc)(q)  # [nc, 3, nq]
@@ -389,7 +407,7 @@ def _contact_forces_constraint(
         bias_f = a_bias[:, None, 2] + mu[:, None] * bt         # [nc, 4]
 
         Jn = J[:, 2, :] * active[:, None]                      # [nc, nq]
-        A_nn = jnp.sum(Jn * jax.scipy.linalg.cho_solve(chol, Jn.T).T, axis=1)
+        A_nn = jnp.sum(Jn * chol_solve(L_M, Jn.T).T, axis=1)
         muc = jnp.maximum(mu, 1.0)
         R_c = (1.0 - d) / d * 2.0 * muc * muc * (1.0 + muc * muc) * A_nn
 
@@ -415,7 +433,7 @@ def _contact_forces_constraint(
         Jl = side[:, None] * jax.nn.one_hot(li, model.nq, dtype=q.dtype)
         Jl = Jl * active_l[:, None]
         vel_l = side * qd[li]
-        Minv_diag = jnp.diagonal(jax.scipy.linalg.cho_solve(chol, jnp.eye(model.nq, dtype=q.dtype)))
+        Minv_diag = jnp.diagonal(chol_solve(L_M, jnp.eye(model.nq, dtype=q.dtype)))
         R_l = (1.0 - d_l) / d_l * Minv_diag[li]
 
         J_rows.append(Jl)
@@ -431,9 +449,9 @@ def _contact_forces_constraint(
     bias = jnp.concatenate(bias_rows)
     Rreg = jnp.maximum(jnp.concatenate(R_rows), 1e-10)
 
-    a0 = Jr @ qdd0 + bias
-    MinvJT = jax.scipy.linalg.cho_solve(chol, Jr.T)        # [nq, nr]
-    A = Jr @ MinvJT                                        # [nr, nr]
+    a0 = mv(Jr, qdd0) + bias
+    MinvJT = chol_solve(L_M, Jr.T)                         # [nq, nr]
+    A = (Jr[:, None, :] * MinvJT.T[None, :, :]).sum(-1)    # [nr, nr]
     g0 = a0 - aref
 
     # APGD with Gershgorin step bound (deterministic, fixed iterations)
@@ -441,7 +459,7 @@ def _contact_forces_constraint(
 
     def body(carry, _):
         lam, y, t = carry
-        grad = A @ y + Rreg * y + g0
+        grad = mv(A, y) + Rreg * y + g0
         lam_new = jnp.maximum(y - grad / L, 0.0)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = lam_new + (t - 1.0) / t_new * (lam_new - lam)
@@ -452,7 +470,7 @@ def _contact_forces_constraint(
         body, (lam0, lam0, jnp.asarray(1.0, q.dtype)), None,
         length=int(getattr(model, "contact_iterations", 30)),
     )
-    return Jr.T @ lam
+    return (Jr * lam[:, None]).sum(0)
 
 
 def _hat_batch(v: jnp.ndarray) -> jnp.ndarray:
@@ -519,8 +537,7 @@ def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray
     # (M + dt·diag(D)) qd' = M qd + dt·f  — unconditionally stable in D.
     # A is SPD (M is a mass matrix + armature, D >= 0) -> Cholesky solve.
     A = M + dt * jnp.diag(D)
-    chol = jax.scipy.linalg.cho_factor(A)
-    qd_new = jax.scipy.linalg.cho_solve(chol, M @ qd + dt * f)
+    qd_new = chol_solve(chol(A), mv(M, qd) + dt * f)
     q_new = q + dt * qd_new
     return q_new, qd_new
 
@@ -530,7 +547,7 @@ def _rotvec_jacobian(r: jnp.ndarray) -> jnp.ndarray:
 
     def omega_of(rd):
         R, Rd = jax.jvp(rotvec_to_mat, (r,), (rd,))
-        W = Rd @ R.T
+        W = (Rd[:, None, :] * R[None, :, :]).sum(-1)  # Rd @ R^T
         return 0.5 * jnp.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]])
 
     return jax.vmap(omega_of)(jnp.eye(3, dtype=r.dtype)).T
@@ -551,8 +568,8 @@ def _remap_free_rotations(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
         norm = jnp.sqrt(jnp.sum(r * r) + 1e-12)
         need = norm > jnp.pi
         r_new = r * (1.0 - 2.0 * jnp.pi / norm)
-        omega = _rotvec_jacobian(r) @ rd
-        rd_new = jnp.linalg.solve(_rotvec_jacobian(r_new), omega)
+        omega = mv(_rotvec_jacobian(r), rd)
+        rd_new = mv(inv3(_rotvec_jacobian(r_new)), omega)
         q = q.at[i : i + 3].set(jnp.where(need, r_new, r))
         qd = qd.at[i : i + 3].set(jnp.where(need, rd_new, rd))
     return q, qd
