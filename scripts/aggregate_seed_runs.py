@@ -63,6 +63,8 @@ def main() -> None:
         if not line.strip():
             continue
         r = json.loads(line)
+        if r["name"].startswith("host_overlap"):
+            continue  # throughput probe, not a return row
         rows[r["name"]][int(r["seed"])] = float(r["best_reward"])  # newest wins
 
     print("| row | seeds | mean ± std | IQM [95% CI] | reference (mean ± std) |")
