@@ -51,6 +51,25 @@ def _load_train(script: str):
     return mod.train
 
 
+def _commit_results(results_path: Path, name: str) -> None:
+    """Commit the results JSONL after every job — raw rows must never exist
+    only on an ephemeral VM (a round-2 session lost a generation of rows to
+    a VM reset between runs and the next commit)."""
+    import subprocess
+
+    try:
+        rel = results_path.relative_to(_REPO)
+        subprocess.run(["git", "add", str(rel)], cwd=_REPO, check=True)
+        r = subprocess.run(
+            ["git", "commit", "-m", f"Record seed-run rows: {name}"],
+            cwd=_REPO, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            print(f"[seed_queue] committed results for {name}", flush=True)
+    except Exception as e:  # never let bookkeeping kill a run
+        print(f"[seed_queue] results commit failed: {e}", flush=True)
+
+
 def _run_job(job: dict, results_path: Path) -> None:
     if "cmd" in job:
         # arbitrary script job (benchmarks, profilers): run as a subprocess
@@ -84,6 +103,7 @@ def _run_job(job: dict, results_path: Path) -> None:
                 f.write(json.dumps(row) + "\n")
             print(f"[seed_queue] {job['name']} seed={r['seed']}: best={r['best_reward']:.1f}",
                   flush=True)
+        _commit_results(results_path, job["name"])
         return
     train = _load_train(job["script"])
     kwargs = dict(job.get("kwargs", {}))
@@ -106,6 +126,7 @@ def _run_job(job: dict, results_path: Path) -> None:
         print(f"[seed_queue] {job['name']} seed={seed}: "
               f"best={row['best_reward']:.1f} ({row['steps_per_s']:,.0f} steps/s)",
               flush=True)
+    _commit_results(results_path, job["name"])
 
 
 def main() -> None:
