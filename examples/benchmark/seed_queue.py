@@ -60,12 +60,18 @@ def _commit_results(results_path: Path, name: str) -> None:
     try:
         rel = results_path.relative_to(_REPO)
         subprocess.run(["git", "add", str(rel)], cwd=_REPO, check=True)
+        # pathspec limits the commit to the results file — an unattended
+        # runner must never sweep up unrelated staged work
         r = subprocess.run(
-            ["git", "commit", "-m", f"Record seed-run rows: {name}"],
+            ["git", "commit", "-m", f"Record seed-run rows: {name}", "--", str(rel)],
             cwd=_REPO, capture_output=True, text=True,
         )
         if r.returncode == 0:
             print(f"[seed_queue] committed results for {name}", flush=True)
+        elif "nothing to commit" not in r.stdout + r.stderr:
+            print(f"[seed_queue] WARNING: results commit for {name} failed "
+                  f"(rc={r.returncode}): {r.stderr.strip() or r.stdout.strip()}",
+                  flush=True)
     except Exception as e:  # never let bookkeeping kill a run
         print(f"[seed_queue] results commit failed: {e}", flush=True)
 
@@ -103,7 +109,8 @@ def _run_job(job: dict, results_path: Path) -> None:
                 f.write(json.dumps(row) + "\n")
             print(f"[seed_queue] {job['name']} seed={r['seed']}: best={r['best_reward']:.1f}",
                   flush=True)
-        _commit_results(results_path, job["name"])
+            # commit per seed: a crash/watchdog mid-job must not lose rows
+            _commit_results(results_path, f"{job['name']} seed={r['seed']}")
         return
     train = _load_train(job["script"])
     kwargs = dict(job.get("kwargs", {}))
@@ -126,7 +133,8 @@ def _run_job(job: dict, results_path: Path) -> None:
         print(f"[seed_queue] {job['name']} seed={seed}: "
               f"best={row['best_reward']:.1f} ({row['steps_per_s']:,.0f} steps/s)",
               flush=True)
-    _commit_results(results_path, job["name"])
+        # commit per seed: a crash/watchdog mid-job must not lose rows
+        _commit_results(results_path, f"{job['name']} seed={seed}")
 
 
 def main() -> None:
