@@ -46,7 +46,7 @@ def _make_sac(env, alpha=0.2):
     )
 
 
-def _make_td3(env):
+def _make_td3(env, exploration_sigma=0.1, policy_noise=0.2):
     from tianshou_tpu.algorithm.modelfree.td3 import TD3
     from tianshou_tpu.algorithm.optim import AdamOptimizerFactory
     from tianshou_tpu.exploration.noise import GaussianNoise
@@ -59,8 +59,8 @@ def _make_td3(env):
         action_space=env.action_space,
         policy_optim=AdamOptimizerFactory(lr=3e-4),
         critic_optim=AdamOptimizerFactory(lr=3e-4),
-        exploration_noise=GaussianNoise(sigma=0.1),
-        policy_noise=0.2, noise_clip=0.5, update_actor_freq=2,
+        exploration_noise=GaussianNoise(sigma=exploration_sigma),
+        policy_noise=policy_noise, noise_clip=0.5, update_actor_freq=2,
         tau=0.005, gamma=0.99, n_step_return_horizon=1,
     )
 
@@ -119,6 +119,7 @@ def run_multiseed(
     test_episodes: int = 10,
     verbose: bool = True,
     env_overrides: dict | None = None,
+    algo_kwargs: dict | None = None,
     save_params: str | None = None,
 ) -> list[dict]:
     """Train ``len(seeds)`` agents simultaneously; returns one result dict
@@ -132,7 +133,9 @@ def run_multiseed(
     env = make(task)
     for k, v in (env_overrides or {}).items():  # e.g. {"substeps": 2} fidelity A/B
         setattr(env, k, v)
-    algo = ALGOS[algo_name](env)
+        if k == "contact_iterations":  # baked into the model at env init
+            env.model.contact_iterations = int(v)
+    algo = ALGOS[algo_name](env, **(algo_kwargs or {}))  # e.g. {"alpha": "auto"} sweeps
     if start_steps is None:
         start_steps = START_STEPS[algo_name]
     S = len(seeds)
