@@ -156,10 +156,16 @@ def main() -> None:
     qdir = _REPO / args.queue
     done = qdir / "done"
     failed = qdir / "failed"
-    for d in (qdir, done, failed):
+    running = qdir / "running"
+    for d in (qdir, done, failed, running):
         d.mkdir(parents=True, exist_ok=True)
     results_path = _REPO / args.results
     results_path.parent.mkdir(parents=True, exist_ok=True)
+
+    # recover jobs orphaned in running/ by a dead runner (VM reset mid-job)
+    for f in sorted(running.glob("*.json")):
+        print(f"[seed_queue] recovering orphaned {f.name}", flush=True)
+        f.rename(qdir / f.name)
 
     idle_since = time.time()
     while True:
@@ -171,7 +177,14 @@ def main() -> None:
             time.sleep(args.poll)
             continue
         idle_since = time.time()
-        jobfile = pending[0]
+        # claim BEFORE executing: the rename is atomic, so two concurrent
+        # runners (seen in the wild: a boot-restarted runner plus a fresh
+        # one) can never double-run hours of chip work
+        try:
+            jobfile = running / pending[0].name
+            pending[0].rename(jobfile)
+        except FileNotFoundError:
+            continue  # another runner claimed it between glob and rename
         try:
             job = json.loads(jobfile.read_text())
             seeds = job.get("seeds") or job.get("vmap", {}).get("seeds")
