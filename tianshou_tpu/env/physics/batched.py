@@ -123,8 +123,10 @@ def chol_t(M: jnp.ndarray) -> jnp.ndarray:
     for k in range(n):
         d = jnp.sqrt(jnp.maximum(A[k, k], 1e-30))
         col = A[:, k] / d[None, :]
-        mask = (np.arange(n) >= k)[:, None]
-        col = jnp.where(mask, col, 0.0)
+        # float mask, not bool jnp.where: bool array constants can't be
+        # hoisted into Pallas kernel inputs (Mosaic VMEM is typed f/i)
+        mask = (np.arange(n) >= k).astype(np.float32)[:, None]
+        col = col * mask
         cols.append(col)
         A = A - col[:, None, :] * col[None, :, :]
     return jnp.stack(cols, axis=1)  # [n, n, E] lower
@@ -143,14 +145,16 @@ def chol_solve_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             Y = jnp.stack(ys)  # [i, m, E]
             acc = acc - (L[i, :i][:, None, :] * Y).sum(0)
         ys.append(acc / L[i, i][None, :])
-    xs: list = []
-    for k, i in enumerate(reversed(range(n))):
+    xs: list = [None] * n
+    # natural row order throughout — a traced [::-1] lowers to lax.rev,
+    # which Mosaic (TPU Pallas) has no lowering for
+    for i in reversed(range(n)):
         acc = ys[i]
-        if k:
-            X = jnp.stack(xs)  # [k, m, E] (most recent first)
-            acc = acc - (L[i + 1:, i][::-1][:, None, :] * X).sum(0)
-        xs.append(acc / L[i, i][None, :])
-    x = jnp.stack(xs[::-1], axis=0)
+        if i < n - 1:
+            X = jnp.stack(xs[i + 1 :])  # [n-1-i, m, E]
+            acc = acc - (L[i + 1 :, i][:, None, :] * X).sum(0)
+        xs[i] = acc / L[i, i][None, :]
+    x = jnp.stack(xs, axis=0)
     return x[:, 0, :] if vec else x
 
 
@@ -507,13 +511,15 @@ def _contact_constraint_b(
         sgn = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])  # [4, 2]
         s0 = jnp.asarray(sgn[:, 0], dt_)
         s1 = jnp.asarray(sgn[:, 1], dt_)
-        # tan[c, f, t, e] = s0[f] Jx + s1[f] Jy
-        tan = s0[None, :, None, None] * J[:, None, 0] + s1[None, :, None, None] * J[:, None, 1]
-        Jf = J[:, None, 2] + mu[:, None, None, None] * tan  # [nc, 4, nq, E]
-        vt = s0[None, :, None] * v[:, None, 0] + s1[None, :, None] * v[:, None, 1]
-        vel_f = v[:, None, 2] + mu[:, None, None] * vt  # [nc, 4, E]
-        bt = s0[None, :, None] * a_bias[:, None, 0] + s1[None, :, None] * a_bias[:, None, 1]
-        bias_f = a_bias[:, None, 2] + mu[:, None, None] * bt
+        # tan[c, f, t, e] = s0[f] Jx + s1[f] Jy — pure slices (J[:, 0:1]),
+        # not mixed None+int indexing: the latter lowers to lax.gather,
+        # which Mosaic (TPU Pallas) can't lower
+        tan = s0[None, :, None, None] * J[:, 0:1] + s1[None, :, None, None] * J[:, 1:2]
+        Jf = J[:, 2:3] + mu[:, None, None, None] * tan  # [nc, 4, nq, E]
+        vt = s0[None, :, None] * v[:, 0:1] + s1[None, :, None] * v[:, 1:2]
+        vel_f = v[:, 2:3] + mu[:, None, None] * vt  # [nc, 4, E]
+        bt = s0[None, :, None] * a_bias[:, 0:1] + s1[None, :, None] * a_bias[:, 1:2]
+        bias_f = a_bias[:, 2:3] + mu[:, None, None] * bt
 
         Jn = J[:, 2] * active[:, None, :]  # [nc, nq, E]
         sol_Jn = chol_solve_t(L_M, jnp.swapaxes(Jn, 0, 1))  # [nq, nc, E]
@@ -568,7 +574,8 @@ def _contact_constraint_b(
     # bound live memory at [nr, nr, E]
     A = jnp.zeros((nr, nr, E), dt_)
     for k_i in range(nq):
-        A = A + Jr[:, None, k_i, :] * MinvJT[k_i][None, :, :]
+        # slices, not int indexing (int+None mixing emits lax.gather)
+        A = A + Jr[:, k_i : k_i + 1, :] * MinvJT[k_i : k_i + 1]
     g0 = a0 - aref
 
     L = jnp.max((jnp.abs(A).sum(1) + Rreg), axis=0) + 1e-8  # [E]
