@@ -38,3 +38,28 @@ def test_fused_interpret_parity(task):
     )
     np.testing.assert_allclose(np.asarray(q_f.T), np.asarray(q_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(qd_f.T), np.asarray(qd_ref), rtol=5e-3, atol=5e-3)
+
+
+def test_fused_interpret_free_joint():
+    """Ant (free joint) exercises _remap_free_b inside the kernel; one
+    substep keeps interpret-mode cost bounded."""
+    env = make("Ant")
+    model = env.model
+    E = 4
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(
+        np.asarray(model.qpos0)[None] + 0.03 * rng.standard_normal((E, model.nq)),
+        jnp.float32,
+    )
+    qd = jnp.asarray(0.05 * rng.standard_normal((E, model.nq)), jnp.float32)
+    ctrl = jnp.asarray(rng.uniform(-1, 1, (E, len(model.actuators))), jnp.float32)
+
+    ref = jax.jit(
+        jax.vmap(lambda q, qd, c: dynamics.step(model, q, qd, c, frame_skip=1, substeps=1))
+    )
+    q_ref, qd_ref = ref(q, qd, ctrl)
+    q_f, qd_f = fused_step(
+        model, q.T, qd.T, ctrl.T, frame_skip=1, substeps=1, block_e=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(q_f.T), np.asarray(q_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qd_f.T), np.asarray(qd_ref), rtol=5e-3, atol=5e-3)

@@ -157,7 +157,11 @@ class VectorDeviceEnv:
         self.env = env
         self.num_envs = num_envs
         self._reset = jax.vmap(env.reset)
-        self._step = jax.vmap(env.step)
+        # an env may provide a natively-batched step (e.g. MujocoEnv's
+        # fused Pallas physics, which needs the whole env batch in one
+        # kernel rather than a vmapped per-env trace)
+        batch_step = getattr(env, "batch_step", None)
+        self._step = batch_step if batch_step is not None else jax.vmap(env.step)
         self.carry_through_reset = jax.vmap(env.carry_through_reset)
 
     @property

@@ -23,6 +23,19 @@ from tianshou_tpu.env.physics import dynamics as dyn
 __all__ = ["PhysState", "MujocoEnv"]
 
 
+def _fused_auto_ok() -> bool:
+    """Default gate for the fused Pallas physics path: single real TPU chip.
+
+    Multi-device setups shard env batches over the mesh; a pallas_call is
+    not auto-partitionable, so those must opt in explicitly (physics_mode=
+    'fused') inside their own shard_map.
+    """
+    try:
+        return jax.default_backend() in ("tpu", "axon") and jax.device_count() == 1
+    except Exception:  # pragma: no cover
+        return False
+
+
 class PhysState(NamedTuple):
     q: jnp.ndarray
     qd: jnp.ndarray
@@ -113,6 +126,80 @@ class MujocoEnv(Env):
             state=new,
             obs=obs,
             reward=jnp.float32(rew),
+            terminated=terminated,
+            truncated=(t >= self.max_episode_steps) & ~terminated,
+            info=Batch(),
+        )
+
+    # -- natively-batched step (VectorDeviceEnv prefers this over
+    #    vmap(step); same semantics, but the dynamics can run as ONE fused
+    #    Pallas kernel instead of ~100 XLA kernel launches per substep) ----
+    # 'auto' = fused on a single real TPU chip, XLA otherwise;
+    # 'fused' / 'xla' force the respective path.
+    physics_mode: str = "auto"
+    # class-level kill switch while the fused kernel's on-chip parity is
+    # being established per task (scripts/physics_fused_probe.py): tasks are
+    # added to this allowlist once the probe shows fp32-roundoff parity AND
+    # a speedup on real hardware. 'auto' consults it; 'fused' overrides.
+    fused_allowlist: frozenset = frozenset()
+    # tasks where the env-last XLA layout (batched.step_b) beats the vmapped
+    # env-major step on chip (scripts/physics_fused_probe.py): planar
+    # small-contact tasks win (HalfCheetah E=2048: 260k vs 231k steps/s,
+    # E=8192: 276k vs 182k); big contact-QP tasks LOSE badly (Ant: 6.7k vs
+    # 19.7k — the [nr,nr,E] A-matrix assembly materializes env-last) and
+    # stay on the vmapped path.
+    envlast_xla_allowlist: frozenset = frozenset({"HalfCheetah"})
+
+    def _use_fused(self) -> bool:
+        if self.physics_mode == "fused":
+            return True
+        if self.physics_mode == "xla":
+            return False
+        return type(self).__name__ in self.fused_allowlist and _fused_auto_ok()
+
+    def batch_step(self, states: PhysState, actions: jnp.ndarray, keys: jax.Array) -> EnvStep:
+        """states [E, nq]-leaves, actions [E, nu] -> batched EnvStep."""
+        a = jnp.clip(
+            actions,
+            jnp.asarray(self.action_space.low),
+            jnp.asarray(self.action_space.high),
+        )
+        if self._use_fused():
+            from tianshou_tpu.ops.pallas.physics_fused import fused_step
+
+            q1T, qd1T = fused_step(
+                self.model, states.q.T, states.qd.T, a.T,
+                frame_skip=self.frame_skip, substeps=self.substeps,
+            )
+            q1, qd1 = q1T.T, qd1T.T
+        elif type(self).__name__ in self.envlast_xla_allowlist:
+            # env-last XLA path (same math to fp32 roundoff,
+            # tests/test_physics_batched.py; speedups in the allowlist note)
+            from tianshou_tpu.env.physics import batched as B
+
+            with jax.default_matmul_precision("float32"):
+                q1T, qd1T = B.step_b(
+                    self.model, states.q.T, states.qd.T, a.T,
+                    frame_skip=self.frame_skip, substeps=self.substeps,
+                )
+            q1, qd1 = q1T.T, qd1T.T
+        else:
+            q1, qd1 = jax.vmap(
+                lambda q, qd, c: dyn.step(
+                    self.model, q, qd, c,
+                    frame_skip=self.frame_skip, substeps=self.substeps,
+                )
+            )(states.q, states.qd, a)
+        t = states.t + 1
+        new = PhysState(q1, qd1, t)
+        with jax.default_matmul_precision("float32"):
+            rew = jax.vmap(self._reward)(states.q, states.qd, q1, qd1, a)
+            terminated = jax.vmap(self._terminated)(q1, qd1)
+            obs = jax.vmap(self._obs)(q1, qd1)
+        return EnvStep(
+            state=new,
+            obs=obs,
+            reward=rew.astype(jnp.float32),
             terminated=terminated,
             truncated=(t >= self.max_episode_steps) & ~terminated,
             info=Batch(),

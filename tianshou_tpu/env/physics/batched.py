@@ -655,7 +655,12 @@ def _rotvec_jacobian_t(r: jnp.ndarray) -> jnp.ndarray:
 
 
 def _remap_free_b(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
-    """dynamics._remap_free_rotations, env-last."""
+    """dynamics._remap_free_rotations, env-last.
+
+    Row updates are rebuilt by concatenation, not ``.at[slice].set`` —
+    jnp's at-set lowers to lax.scatter, which Mosaic (TPU Pallas) cannot
+    lower; concatenate/slice both can.
+    """
     for j in model.joints:
         if j.jtype != FREE:
             continue
@@ -667,8 +672,10 @@ def _remap_free_b(model: Model, q: jnp.ndarray, qd: jnp.ndarray):
         r_new = r * (1.0 - 2.0 * jnp.pi / norm)[None, :]
         omega = mvT(_rotvec_jacobian_t(r), rd)
         rd_new = mvT(inv3_t(_rotvec_jacobian_t(r_new)), omega)
-        q = q.at[i : i + 3].set(jnp.where(need[None, :], r_new, r))
-        qd = qd.at[i : i + 3].set(jnp.where(need[None, :], rd_new, rd))
+        r_out = jnp.where(need[None, :], r_new, r)
+        rd_out = jnp.where(need[None, :], rd_new, rd)
+        q = jnp.concatenate([q[:i], r_out, q[i + 3 :]], axis=0)
+        qd = jnp.concatenate([qd[:i], rd_out, qd[i + 3 :]], axis=0)
     return q, qd
 
 
