@@ -38,6 +38,7 @@ def train(
     gamma: float = 0.99,
     gae_lambda: float = 0.95,
     target_kl: float | None = 0.015,
+    ent_coef: float = 0.0,
     hidden: tuple = (64, 64),
     test_episodes: int = 10,
     logger=None,
@@ -76,7 +77,7 @@ def train(
         return_standardization=True,
         recompute_advantage=True,
         vf_coef=0.25,
-        ent_coef=0.0,
+        ent_coef=ent_coef,
         action_bound_method="clip",
         deterministic_eval=True,
         target_kl=target_kl,
