@@ -196,3 +196,78 @@ def test_normobs_rms_handoff_to_test_envs():
     # every env slot carries the same injected stats
     assert injected.rms.mean.shape[0] == 4
     np.testing.assert_allclose(np.asarray(injected.rms.mean[0]), np.asarray(injected.rms.mean[3]))
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: episode accounting across collect-call boundaries,
+# reward accumulation, truncation accounting (reference test_collector.py
+# episode-stat invariants around :314-390 and truncation handling)
+# ---------------------------------------------------------------------------
+
+
+def test_episode_stats_span_collect_calls():
+    """An episode begun in one collect() call and finished in the next must
+    be credited exactly once, with the full return/length — the per-env
+    running accumulators live in the collector carry state."""
+    env = MoveToRightEnv(size=5)
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    buffer = VectorReplayBuffer(total_size=64, buffer_num=2)
+    bs = buffer.init(transition_example(env))
+    coll = DeviceCollector(VectorDeviceEnv(env, 2), algo, buffer)
+    cstate = coll.reset(jax.random.key(1))
+    # first call: 3 steps -> mid-episode, nothing completes
+    cstate, bs, out1 = coll.collect(ts, cstate, bs, jax.random.key(2), 3)
+    s1 = coll.stats_from(out1)
+    assert s1.n_collected_episodes == 0
+    # second call: 7 more steps -> each env finishes at global step 5 and
+    # again at step 10; per-call: steps 4..10 complete episode 1 (len 5)
+    # and episode 2 (len 5) per env
+    cstate, bs, out2 = coll.collect(ts, cstate, bs, jax.random.key(3), 7)
+    s2 = coll.stats_from(out2)
+    assert s2.n_collected_episodes == 4  # 2 envs x 2 completions
+    np.testing.assert_allclose(s2.returns, 1.0)
+    np.testing.assert_array_equal(s2.lens, 5)
+
+
+class RewardfulMove(MoveToRightEnv):
+    """reward == new position, so episode return = 1+2+3+4+5 = 15."""
+
+    def step(self, state, action, key):
+        out = super().step(state, action, key)
+        return out._replace(reward=out.state.index.astype(jnp.float32))
+
+
+def test_episode_return_accumulates_per_step_rewards():
+    env = RewardfulMove(size=5)
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    coll = DeviceCollector(VectorDeviceEnv(env, 2), algo, None)
+    cstate = coll.reset(jax.random.key(1))
+    cstate, _, out = coll.collect(ts, cstate, None, jax.random.key(2), 10)
+    stats = coll.stats_from(out)
+    assert stats.n_collected_episodes == 4
+    np.testing.assert_allclose(stats.returns, 15.0)
+
+
+def test_truncation_accounting():
+    """A time-limit truncation must be stored as truncated (not terminated),
+    still close the episode for stats, and auto-reset the env."""
+    env = MoveToRightEnv(size=50, max_episode_steps=4)  # never terminates
+    algo = AlwaysRight(env.action_space)
+    ts = algo.init(jax.random.key(0), jnp.zeros(1))
+    buffer = VectorReplayBuffer(total_size=64, buffer_num=2)
+    bs = buffer.init(transition_example(env))
+    coll = DeviceCollector(VectorDeviceEnv(env, 2), algo, buffer)
+    cstate = coll.reset(jax.random.key(1))
+    cstate, bs, out = coll.collect(ts, cstate, bs, jax.random.key(2), 9)
+    term = np.asarray(bs.data.terminated[0, :9])
+    trunc = np.asarray(bs.data.truncated[0, :9])
+    assert not term.any()
+    np.testing.assert_array_equal(np.where(trunc)[0], [3, 7])
+    stats = coll.stats_from(out)
+    assert stats.n_collected_episodes == 4  # 2 envs x 2 truncations
+    np.testing.assert_array_equal(stats.lens, 4)
+    # auto-reset: position restarts from 0 after each truncation
+    obs = np.asarray(bs.data.obs[0, :9, 0])
+    np.testing.assert_array_equal(obs, [0, 1, 2, 3, 0, 1, 2, 3, 0])
