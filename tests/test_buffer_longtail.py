@@ -190,3 +190,29 @@ def test_dataclass_pprint_mixin():
 
     s = TrainerParams(max_epochs=3).pprints_asdict(exclude_fields=["logger"])
     assert "TrainerParams" in s and "max_epochs" in s and "logger" not in s
+
+
+def test_vector_sampling_proportional_to_fill():
+    """Sampling across sub-buffers with UNEQUAL fill must be uniform over
+    valid entries (i.e. proportional to per-env size), not uniform over
+    envs — the reference weights sub-buffers by size (manager.py:200)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tianshou_tpu.data.batch import Batch
+    from tianshou_tpu.data.buffer.base import VectorReplayBuffer
+
+    ex = Batch(obs=jnp.float32(0), act=jnp.int32(0), rew=jnp.float32(0),
+               terminated=jnp.bool_(False), truncated=jnp.bool_(False),
+               obs_next=jnp.float32(0))
+    buf = VectorReplayBuffer(total_size=32, buffer_num=2)
+    state = buf.init(ex)
+    b = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2), ex)
+    # env 0 gets 12 entries, env 1 gets 3 (via masked adds)
+    for i in range(12):
+        state, _ = buf.add(state, b, mask=jnp.array([True, i < 3]))
+    np.testing.assert_array_equal(np.asarray(state.size), [12, 3])
+    idx = np.asarray(buf.sample_indices(state, jax.random.key(0), 4096))
+    frac_env0 = (idx < 16).mean()
+    assert 0.74 < frac_env0 < 0.86, frac_env0  # expect 12/15 = 0.8
