@@ -38,6 +38,10 @@ REFERENCE = {
     "a2c_HalfCheetah": (2377.3, 1363.7),   # reference protocol: 3M
     "trpo_HalfCheetah": (4471.2, 804.9), "npg_HalfCheetah": (3485.2, 716.6),
     "reinforce_HalfCheetah": (1138.8, 104.7),  # reference protocol: 10M
+    # our 10M-budget REINFORCE row, protocol-matched to the reference's 10M
+    "reinforce10m_HalfCheetah": (1138.8, 104.7),
+    # our 3M-budget A2C row, protocol-matched to the reference's 3M
+    "a2c3m_HalfCheetah": (2377.3, 1363.7),
 }
 
 # rows whose REFERENCE number comes from a longer-than-1M protocol (the
@@ -75,8 +79,13 @@ def main() -> None:
         # stratified bootstrap over runs: score matrix [n_runs, 1 task]
         mat = scores[:, None]
         lo, hi = stratified_bootstrap_ci(mat)
-        ref = REFERENCE.get(name)
-        proto = REFERENCE_PROTOCOL.get(name)
+        # tuned-config variants (e.g. td3_Ant_sigma02) compare against the
+        # base row's reference number
+        base = name
+        while base not in REFERENCE and "_" in base:
+            base = base.rsplit("_", 1)[0]
+        ref = REFERENCE.get(base)
+        proto = REFERENCE_PROTOCOL.get(base)
         ref_s = f"{ref[0]:,.1f} ± {ref[1]:,.1f}" if ref else "—"
         if ref and proto:
             ref_s += f" (at {proto})"
