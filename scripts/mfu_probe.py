@@ -92,15 +92,17 @@ def main() -> None:
         x = (x * 255).astype(jnp.uint8)
         params = net.init(jax.random.key(2), x[:1])
 
-        def raw_fwdbwd(p, k):
+        def raw_fwdbwd(carry, k):
+            p, x_ = carry
+
             def loss(p):
-                return net.apply(p, x).sum()
+                return net.apply(p, x_).sum()
 
             g = jax.grad(loss)(p)
             # fold the grads in so the scan has a data dependence
-            return jax.tree.map(lambda a, b: a + 1e-12 * b, p, g)
+            return jax.tree.map(lambda a, b: a + 1e-12 * b, p, g), x_
 
-        ms = timed(raw_fwdbwd, params, key, iters=iters)
+        ms = timed(raw_fwdbwd, (params, x), key, iters=iters)
         row["raw_cnn_fwdbwd_ms"] = round(ms, 3)
         # fwd + ~2x fwd for bwd
         row["raw_cnn_tflops"] = round(B * FWD_FLOPS_PER_FRAME * 3 / (ms / 1e3) / 1e12, 2)
@@ -111,25 +113,29 @@ def main() -> None:
         batch = algo.preprocess(ts, buffer, buf_state, batch, indices, k2)
         batch = jax.tree.map(lambda a: a, batch)  # materialize
 
-        def step_only(ts_, k):
-            ts_, _ = algo.update_step(ts_, batch, k)
-            return ts_
+        def step_only(carry, k):
+            ts_, b_ = carry
+            ts_, _ = algo.update_step(ts_, b_, k)
+            return ts_, b_
 
-        ms = timed(step_only, ts, key, iters=iters)
+        ms = timed(step_only, (ts, batch), key, iters=iters)
         row["update_step_ms"] = round(ms, 3)
         # fwd + bwd(2x) + fp32 target fwd inside update_step? target fwd is
         # in preprocess for DQN n-step; update_step = fwd + bwd -> 3F
         row["update_step_tflops"] = round(B * FWD_FLOPS_PER_FRAME * 3 / (ms / 1e3) / 1e12, 2)
 
         # --- sample + preprocess ------------------------------------------
+        # the ring state must ride the carry: closing over it would bake
+        # ~1 GB of buffer into the program constants (HTTP 413 on the
+        # remote-compile tunnel)
         def sample_pre(carry, k):
+            acc, bs_ = carry
             k1, k2 = jax.random.split(k)
-            b, idx = buffer.sample(buf_state, k1, B)
-            b = algo.preprocess(ts, buffer, buf_state, b, idx, k2)
-            # carry a scalar so the scan is dependent
-            return carry + b.returns.sum() * 1e-12
+            b, idx = buffer.sample(bs_, k1, B)
+            b = algo.preprocess(ts, buffer, bs_, b, idx, k2)
+            return acc + b.returns.sum() * 1e-12, bs_
 
-        ms = timed(sample_pre, jnp.float32(0), key, iters=iters)
+        ms = timed(sample_pre, (jnp.float32(0), buf_state), key, iters=iters)
         row["sample_preprocess_ms"] = round(ms, 3)
 
         # --- full update ---------------------------------------------------
