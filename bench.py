@@ -183,7 +183,7 @@ def bench_atari_cnn(E: int = 256, T: int = 16, update_per_step: float = 0.1, bat
 
 
 # ---------------------------------------------------------------------------
-def bench_atari_update_burst(E: int = 256, batch: int = 2048, n_updates: int = 32, iters: int = 4):
+def bench_atari_update_burst(E: int = 256, batch: int = 1024, n_updates: int = 64, iters: int = 4):
     """Chip-utilization benchmark: a fused burst of DQN gradient steps at a
     saturating batch through the REAL update path (uint8 replay sample +
     4-frame restack + n-step targets + bf16 NatureCNN fwd/bwd + Adam).
