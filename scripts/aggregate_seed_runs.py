@@ -37,6 +37,15 @@ REFERENCE = {
     "ppo_HalfCheetah": (5783.9, 1244.0), "ppo3m_HalfCheetah": (7337.4, 1508.2),
     "a2c_HalfCheetah": (2377.3, 1363.7),   # reference protocol: 3M
     "trpo_HalfCheetah": (4471.2, 804.9), "npg_HalfCheetah": (3485.2, 716.6),
+    # on-policy widening rows (reference README.md:239-394; A2C budget is 3M)
+    "ppo_Hopper": (2609.3, 700.8), "ppo_Walker2d": (3588.5, 756.6),
+    "ppo_Ant": (3258.4, 1079.3),
+    "a2c_Hopper": (1608.6, 529.5), "a2c_Walker2d": (1805.4, 1055.9),
+    "a2c_Ant": (5236.8, 236.7),
+    "npg_Hopper": (1915.2, 550.5), "npg_Walker2d": (2503.2, 963.3),
+    "npg_Ant": (2358.0, 517.5),
+    "trpo_Hopper": (2046.0, 1037.9), "trpo_Walker2d": (3826.7, 782.7),
+    "trpo_Ant": (2866.7, 707.9),
     "reinforce_HalfCheetah": (1138.8, 104.7),  # reference protocol: 10M
     # our 10M-budget REINFORCE row, protocol-matched to the reference's 10M
     "reinforce10m_HalfCheetah": (1138.8, 104.7),
@@ -50,7 +59,8 @@ REFERENCE = {
 REFERENCE_PROTOCOL = {
     # README table budgets: REINFORCE 10M (:181), A2C 3M (:239), PPO 1M/3M
     # (:294/:306), TRPO 1M (:348), NPG 1M (:384)
-    "a2c_HalfCheetah": "3M",
+    "a2c_HalfCheetah": "3M", "a2c_Hopper": "3M", "a2c_Walker2d": "3M",
+    "a2c_Ant": "3M",
     "reinforce_HalfCheetah": "10M", "ppo3m_HalfCheetah": "3M",
 }
 
@@ -89,6 +99,11 @@ def main() -> None:
         ref_s = f"{ref[0]:,.1f} ± {ref[1]:,.1f}" if ref else "—"
         if ref and proto:
             ref_s += f" (at {proto})"
+        if ref and base != name:
+            # fallback-matched variant row (e.g. td3_Ant_sigma02): make the
+            # attribution visible so a mis-stripped name can't masquerade as
+            # a protocol-matched comparison
+            ref_s += f" (vs {base})"
         print(f"| {name} | {len(scores)} | {m:,.1f} ± {sd:,.1f} | "
               f"{iqm(mat):,.1f} [{lo:,.1f}, {hi:,.1f}] | {ref_s} |")
 

@@ -120,8 +120,8 @@ def main() -> None:
 
         ms = timed(step_only, (ts, batch), key, iters=iters)
         row["update_step_ms"] = round(ms, 3)
-        # fwd + bwd(2x) + fp32 target fwd inside update_step? target fwd is
-        # in preprocess for DQN n-step; update_step = fwd + bwd -> 3F
+        # DQN's target forward runs in preprocess (batch.returns arrives
+        # precomputed), so update_step is exactly fwd + bwd = 3F
         row["update_step_tflops"] = round(B * FWD_FLOPS_PER_FRAME * 3 / (ms / 1e3) / 1e12, 2)
 
         # --- sample + preprocess ------------------------------------------
