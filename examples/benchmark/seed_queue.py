@@ -114,9 +114,20 @@ def _run_job(job: dict, results_path: Path) -> None:
         return
     train = _load_train(job["script"])
     kwargs = dict(job.get("kwargs", {}))
+    import inspect
+
+    takes_logger = "logger" in inspect.signature(train).parameters
     for seed in job["seeds"]:
+        # capture the test-return learning curve so rows feed the rliable
+        # IQM/CI curve plots (aggregate_seed_runs.py --plots), like the
+        # vmap jobs already do
+        logger = None
+        if takes_logger:
+            from tianshou_tpu.utils.logger.base import CurveLogger
+
+            logger = CurveLogger()
         t0 = time.time()
-        result = train(seed=seed, **kwargs)
+        result = train(seed=seed, **({"logger": logger} if logger else {}), **kwargs)
         dt = time.time() - t0
         row = {
             "name": job["name"],
@@ -128,6 +139,8 @@ def _run_job(job: dict, results_path: Path) -> None:
             "kwargs": kwargs,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        if logger is not None and logger.curve:
+            row["curve"] = logger.curve
         with results_path.open("a") as f:
             f.write(json.dumps(row) + "\n")
         print(f"[seed_queue] {job['name']} seed={seed}: "

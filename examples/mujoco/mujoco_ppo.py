@@ -39,6 +39,8 @@ def train(
     gae_lambda: float = 0.95,
     target_kl: float | None = 0.015,
     ent_coef: float = 0.0,
+    sde: bool = False,
+    sde_sigma_init: float = -2.0,
     hidden: tuple = (64, 64),
     test_episodes: int = 10,
     logger=None,
@@ -64,8 +66,15 @@ def train(
     sched = linear_lr_schedule(lr, total_updates) if lr_decay else lr
     algo = PPO(
         # reference init recipe (mujoco_ppo.py:109-120): tanh nets,
-        # orthogonal kernels, 0.01-scaled final mu layer, sigma exp(-0.5)
-        actor=ContinuousActorProbabilistic(hidden_sizes=hidden, action_dim=nu, ppo_init=True),
+        # orthogonal kernels, 0.01-scaled final mu layer, sigma exp(-0.5).
+        # sde=True switches exploration to gSDE (arXiv:2005.05719):
+        # temporally-correlated state-dependent noise, resampled per rollout
+        # and on episode end; sigma_init=-2 gives a comparable initial
+        # marginal std once summed over the 64 feature channels.
+        actor=ContinuousActorProbabilistic(
+            hidden_sizes=hidden, action_dim=nu, ppo_init=True,
+            sde=sde, sigma_init=(sde_sigma_init if sde else -0.5),
+        ),
         critic=ContinuousCritic(hidden_sizes=hidden, use_action=False, ppo_init=True),
         action_space=env.action_space,
         optim=AdamOptimizerFactory(lr=sched, max_grad_norm=0.5),
@@ -160,6 +169,8 @@ if __name__ == "__main__":
     p.add_argument("--repeat", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--sde", action="store_true",
+                   help="gSDE state-dependent exploration (device backend)")
     args = p.parse_args()
     kw = {k.replace("-", "_"): v for k, v in vars(args).items()}
     if kw.pop("cpu"):

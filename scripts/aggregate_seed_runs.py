@@ -65,14 +65,60 @@ REFERENCE_PROTOCOL = {
 }
 
 
+def _plot_rows(curves: dict[str, dict[int, list]], out_dir: Path) -> None:
+    """One IQM/CI learning-curve plot per row from the stored per-seed
+    curves — the JSONL-backed analogue of the reference's
+    load_and_eval_experiment plots (rliable_evaluation.py:442)."""
+    import numpy as np
+
+    from tianshou_tpu.evaluation.rliable_evaluation import (
+        iqm as _iqm,
+        plot_iqm_curve,
+        stratified_bootstrap_ci as _ci,
+    )
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name, per_seed in sorted(curves.items()):
+        cs = [np.asarray(c, np.float64) for c in per_seed.values() if len(c) >= 2]
+        if len(cs) < 2:
+            continue
+        grid = cs[0][:, 0]
+        mat = np.stack([np.interp(grid, c[:, 0], c[:, 1]) for c in cs])
+        iqm_curve = np.array([_iqm(mat[:, t]) for t in range(mat.shape[1])])
+        lo = np.empty_like(iqm_curve)
+        hi = np.empty_like(iqm_curve)
+        for t in range(mat.shape[1]):
+            lo[t], hi[t] = _ci(mat[:, t][:, None], n_boot=200)
+        base = name
+        while base not in REFERENCE and "_" in base:
+            base = base.rsplit("_", 1)[0]
+        title = f"{name} (n={len(cs)} seeds)"
+        fig = plot_iqm_curve(grid, iqm_curve, lo, hi, title=title,
+                             out_path=str(out_dir / f"{name}.png"))
+        if base in REFERENCE:
+            ax = fig.axes[0]
+            m, sd = REFERENCE[base]
+            ax.axhline(m, color="gray", ls="--", lw=1, label="reference")
+            ax.axhspan(m - sd, m + sd, color="gray", alpha=0.12)
+            ax.legend()
+            fig.savefig(out_dir / f"{name}.png", dpi=120)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    print(f"\nplots -> {out_dir}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--results", default="examples/benchmark/results/seed_runs.jsonl")
     p.add_argument("--latest-per-seed", action="store_true", default=True,
                    help="keep only the newest run per (name, seed)")
+    p.add_argument("--plots", default=None, metavar="DIR",
+                   help="also emit per-row IQM/CI learning-curve plots")
     args = p.parse_args()
 
     rows: dict[str, dict[int, float]] = defaultdict(dict)
+    curves: dict[str, dict[int, list]] = defaultdict(dict)
     for line in Path(args.results).read_text().splitlines():
         if not line.strip():
             continue
@@ -80,6 +126,8 @@ def main() -> None:
         if r["name"].startswith("host_overlap"):
             continue  # throughput probe, not a return row
         rows[r["name"]][int(r["seed"])] = float(r["best_reward"])  # newest wins
+        if r.get("curve"):
+            curves[r["name"]][int(r["seed"])] = r["curve"]
 
     print("| row | seeds | mean ± std | IQM [95% CI] | reference (mean ± std) |")
     print("|---|---|---|---|---|")
@@ -106,6 +154,9 @@ def main() -> None:
             ref_s += f" (vs {base})"
         print(f"| {name} | {len(scores)} | {m:,.1f} ± {sd:,.1f} | "
               f"{iqm(mat):,.1f} [{lo:,.1f}, {hi:,.1f}] | {ref_s} |")
+
+    if args.plots:
+        _plot_rows(curves, Path(args.plots))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,33 @@ def rng():
 
 
 # ---------------------------------------------------------------------------
+# core vs slow split: e2e threshold-training tests (reference test strategy
+# SURVEY.md §4.3 — full agent runs) are auto-marked `slow` so the data-plane
+# core (`pytest -m "not slow"`) stays under 5 minutes and runs every round;
+# the full suite (`pytest tests/`) still includes everything.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_dqn", "test_continuous", "test_distributional", "test_offline",
+    "test_onpolicy", "test_modelbased", "test_marl", "test_highlevel",
+    "test_determinism_algos", "test_mujoco_locomotion", "test_mujoco_table",
+    "test_trust_region", "test_image_pipeline",
+}
+SLOW_TESTS = {
+    "test_her_ddpg_beats_sparse_reward",
+    "test_her_ddpg_nstep_targets",
+    "test_sde_ppo_pendulum_end_to_end",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if mod in SLOW_MODULES or item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
+# ---------------------------------------------------------------------------
 # expert-data fixtures shared by offline / GAIL / imitation tests
 # (reference test/offline/gather_cartpole_data.py, gather_pendulum_data.py)
 # ---------------------------------------------------------------------------

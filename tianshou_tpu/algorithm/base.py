@@ -133,6 +133,19 @@ class Algorithm:
         stateless); reset on episode end (reference collector.py:1103)."""
         return None
 
+    def reset_policy_state(self, num_envs: int, key: jax.Array) -> Any:
+        """State installed for envs whose episode just finished. Default =
+        the zero initial state (recurrent carry reset, reference
+        collector.py:1103); stochastic-exploration policies (gSDE) override
+        to resample their noise state with ``key``."""
+        return self.init_policy_state(num_envs)
+
+    def refresh_policy_state(self, state: Any, num_envs: int, key: jax.Array) -> Any:
+        """Hook run once at the start of every collect chunk. Default
+        identity; gSDE policies resample the exploration-noise matrix here
+        (the per-rollout resample cadence of arXiv:2005.05719)."""
+        return state
+
     def map_action(self, act: jnp.ndarray) -> jnp.ndarray:
         """Map raw policy output into env action space
         (reference Policy.map_action algorithm_base.py:254)."""
@@ -173,6 +186,12 @@ class Algorithm:
     # ------------------------------------------------------------------
     # learning
     # ------------------------------------------------------------------
+    #: buffer fields to skip when sampling inside :meth:`update` — set by
+    #: algorithms whose preprocess/update_step provably never read them
+    #: (e.g. the DQN family drops ``obs_next`` when n_step>1: targets come
+    #: from the n-step terminal row, not the sampled row)
+    update_sample_drop_keys: tuple[str, ...] = ()
+
     def preprocess(self, ts: TrainState, buffer, buf_state, batch: Batch, indices: jnp.ndarray, key: jax.Array) -> Batch:
         """Compute targets before the gradient step (n-step / GAE)."""
         return batch
@@ -196,7 +215,14 @@ class Algorithm:
         """sample -> preprocess -> update_step -> postprocess, all pure
         (reference Algorithm._update orchestration, algorithm_base.py:586)."""
         k1, k2, k3 = jax.random.split(key, 3)
-        batch, indices = buffer.sample(buf_state, k1, batch_size)
+        # skip gathering fields the update never consumes (e.g. the DQN
+        # family's sampled obs_next when n_step>1 — the frame-stacked pixel
+        # gather is half the update cost, scripts/mfu_probe.py); HER buffers
+        # keep the full batch since relabeling reads obs_next
+        drop = self.update_sample_drop_keys
+        if getattr(buffer, "relabels_on_sample", False):
+            drop = ()
+        batch, indices = buffer.sample(buf_state, k1, batch_size, drop_keys=drop)
         batch = self.preprocess(ts, buffer, buf_state, batch, indices, k2)
         ts, stats = self.update_step(ts, batch, k3)
         buf_state = self.postprocess(ts, buffer, buf_state, batch, indices, stats)
@@ -245,25 +271,60 @@ class OffPolicyAlgorithm(Algorithm):
         from tianshou_tpu.ops.returns import nstep_returns, value_mask
 
         if getattr(buffer, "relabels_on_sample", False):
-            # HER: goals/rewards were rewritten at sample time, so targets
-            # must come from the relabeled batch, not the raw buffer chain
-            # (1-step bootstrap; the reference relabels the buffer in place
-            # instead, her.py:100).
-            tq = self._target_q(ts, batch.obs_next, key)
-            mask = value_mask(batch.terminated.astype(jnp.float32))
+            # HER: goals/rewards were rewritten at sample time. The buffer
+            # attaches its relabel plan (her_new_goal/her_relabel) so the
+            # n-step chain can be relabeled CONSISTENTLY with the sampled
+            # batch — matching the reference, which rewrites the buffer in
+            # place before compute_nstep_return (her.py:100 +
+            # algorithm_base.py:721).
+            new_goal = batch.pop("her_new_goal", None)
+            relabel = batch.pop("her_relabel", None)
+            if self.n_step == 1 or new_goal is None:
+                # 1-step bootstrap straight off the relabeled batch
+                tq = self._target_q(ts, batch.obs_next, key)
+                mask = value_mask(batch.terminated.astype(jnp.float32))
+                tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
+                rew = batch.rew.reshape(batch.rew.shape + (1,) * (tq.ndim - 1))
+                batch.returns = (rew + self.gamma * tq).reshape(tq.shape) if tq.ndim > 1 else batch.rew + self.gamma * tq
+                return batch
+            base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
+            rews, ends, term_idx = buffer.n_step_gather_relabeled(
+                base_state, indices, self.n_step, new_goal, relabel
+            )
+            terminal = buffer.get(buf_state, term_idx, keys=("obs_next", "terminated"))
+            terminal.obs_next = terminal.obs_next.copy()
+            terminal.obs_next.desired_goal = buffer._splice(
+                new_goal, terminal.obs_next.desired_goal, relabel
+            )
+            tq = self._target_q(ts, terminal.obs_next, key)
+            mask = value_mask(terminal.terminated.astype(jnp.float32))
             tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
-            rew = batch.rew.reshape(batch.rew.shape + (1,) * (tq.ndim - 1))
-            batch.returns = (rew + self.gamma * tq).reshape(tq.shape) if tq.ndim > 1 else batch.rew + self.gamma * tq
+            batch.returns = nstep_returns(rews, ends, tq, self.gamma)
             return batch
 
-        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
-        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
-        terminal = buffer.get(buf_state, term_idx)
-        tq = self._target_q(ts, terminal.obs_next, key)
-        mask = value_mask(terminal.terminated.astype(jnp.float32))
+        rews, ends, obs_next_t, terminated_t = self._nstep_terminal(buffer, buf_state, batch, indices)
+        tq = self._target_q(ts, obs_next_t, key)
+        mask = value_mask(terminated_t.astype(jnp.float32))
         tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
         batch.returns = nstep_returns(rews, ends, tq, self.gamma)
         return batch
+
+    def _nstep_terminal(self, buffer, buf_state, batch: Batch, indices: jnp.ndarray):
+        """n-step reward chain + the terminal row's (obs_next, terminated).
+
+        For n_step==1 the terminal row IS the sampled row, so the already-
+        gathered batch is reused instead of re-gathering (on pixel rings a
+        frame-stacked obs_next gather is the single most expensive kernel
+        of the update). For n_step>1 only the two consumed fields are
+        fetched (reference gathers whole transitions, algorithm_base.py:721
+        — cheap there because numba reads row-wise from host RAM).
+        """
+        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
+        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
+        if self.n_step == 1 and "obs_next" in batch:
+            return rews, ends, batch.obs_next, batch.terminated
+        terminal = buffer.get(buf_state, term_idx, keys=("obs_next", "terminated"))
+        return rews, ends, terminal.obs_next, terminal.terminated
 
 
 class OfflineAlgorithm(Algorithm):

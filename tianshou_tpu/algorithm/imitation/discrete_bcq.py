@@ -79,11 +79,9 @@ class DiscreteBCQ(OfflineAlgorithm):
         return jnp.take_along_axis(q_t, act[:, None], axis=1)[:, 0]
 
     def preprocess(self, ts, buffer, buf_state, batch, indices, key):
-        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
-        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
-        terminal = buffer.get(buf_state, term_idx)
-        tq = self._target_q(ts, terminal.obs_next, key)
-        tq = tq * value_mask(terminal.terminated.astype(jnp.float32))
+        rews, ends, obs_next_t, terminated_t = self._nstep_terminal(buffer, buf_state, batch, indices)
+        tq = self._target_q(ts, obs_next_t, key)
+        tq = tq * value_mask(terminated_t.astype(jnp.float32))
         batch.returns = nstep_returns(rews, ends, tq, self.gamma)
         return batch
 

@@ -45,20 +45,18 @@ class C51(QLearningOffPolicyAlgorithm):
 
     # ------------------------------------------------------------------
     def preprocess(self, ts: TrainState, buffer, buf_state, batch: Batch, indices, key) -> Batch:
-        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
-        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
-        terminal = buffer.get(buf_state, term_idx)
+        rews, ends, obs_next_t, terminated_t = self._nstep_terminal(buffer, buf_state, batch, indices)
         B = rews.shape[1]
-        mask = value_mask(terminal.terminated.astype(jnp.float32))
+        mask = value_mask(terminated_t.astype(jnp.float32))
         support_b = jnp.broadcast_to(self.support, (B, self.num_atoms)) * mask[:, None]
         returns = nstep_returns(rews, ends, support_b, self.gamma)
         target_support = jnp.clip(returns, self.v_min, self.v_max)  # [B, atoms]
 
         # next-state distribution at greedy action (double selection)
         tparams = ts.target_params["model"] if self.use_target else ts.params["model"]
-        probs_sel = self._probs(ts.params["model"], terminal.obs_next)
+        probs_sel = self._probs(ts.params["model"], obs_next_t)
         a_star = jnp.argmax((probs_sel * self.support).sum(-1), axis=-1)
-        probs_t = self._probs(tparams, terminal.obs_next)
+        probs_t = self._probs(tparams, obs_next_t)
         next_dist = jnp.take_along_axis(probs_t, a_star[:, None, None], axis=1)[:, 0]  # [B, atoms]
 
         # projection (clamp trick, c51.py:137)

@@ -50,6 +50,13 @@ class QLearningOffPolicyAlgorithm(OffPolicyAlgorithm):
         super().__init__(action_space=action_space, gamma=gamma, optim=optim, **kwargs)
         self.model = model
         self.n_step = n_step_return_horizon
+        # targets come from the n-step terminal row (preprocess), and the
+        # Q-learning update_step reads only (obs, act, returns, weight) —
+        # so for n_step>1 the sampled row's obs_next is never consumed and
+        # its frame-stacked gather (the costliest kernel of a pixel update,
+        # scripts/mfu_probe.py) is skipped at the source
+        if self.n_step > 1:
+            self.update_sample_drop_keys = ("obs_next",)
         self.target_update_freq = target_update_freq
         self.use_target = target_update_freq > 0
         self.eps_training = eps_training

@@ -43,6 +43,7 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         ent_coef: float = 0.0,
         vf_coef: float = 0.5,
         deterministic_eval: bool = False,
+        sde_sample_freq: int = 4,
         **kwargs: Any,
     ) -> None:
         kwargs.setdefault("action_scaling", not isinstance(action_space, Discrete))
@@ -55,6 +56,10 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         self.ent_coef = ent_coef
         self.vf_coef = vf_coef
         self.deterministic_eval = deterministic_eval
+        # gSDE noise-resample cadence in env steps (paper arXiv:2005.05719:
+        # PPO needs periodic resampling — a rollout-frozen eps collapses the
+        # per-update noise diversity to num_envs draws)
+        self.sde_sample_freq = sde_sample_freq
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array, obs_example: jnp.ndarray) -> TrainState:
@@ -83,11 +88,20 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         )
 
     # ------------------------------------------------------------------
+    @property
+    def _sde(self) -> bool:
+        """gSDE actor (arXiv:2005.05719): actor returns (mu, sigma(s), feat)
+        and the collector carries a per-env exploration-noise matrix."""
+        return bool(getattr(self.actor, "sde", False))
+
     def _dist(self, params: Any, obs: jnp.ndarray):
         out = self.actor.apply(params["actor"], obs)
         if self.is_discrete:
             return Categorical(logits=out)
-        mu, sigma = out
+        if self._sde:
+            mu, sigma, _feat = out
+        else:
+            mu, sigma = out
         return Normal(loc=mu, scale=sigma)
 
     def _value(self, params: Any, obs: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +109,28 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         return v.reshape(v.shape[0])
 
     def forward(self, ts: TrainState, obs: jnp.ndarray, key: jax.Array, state=None, deterministic: bool = False) -> ActOut:
+        if self._sde and not self.is_discrete:
+            mu, sigma, feat = self.actor.apply(ts.params["actor"], obs)
+            if deterministic and self.deterministic_eval:
+                act = mu
+            elif state is None:
+                # no carried noise (single-shot inference): iid sample from
+                # the marginal — identical in distribution to one SDE step
+                act = Normal(loc=mu, scale=sigma).sample(key)
+            else:
+                # resample eps every sde_sample_freq steps (per-step key is
+                # already unique along the scan), then
+                # act = mu + feat^T (eps * exp(log_sigma)): marginally
+                # N(mu, sigma(s)^2) with eps ~ N(0,1) held between resamples
+                E = state.eps.shape[0]
+                fresh = self._sde_eps(E, jax.random.fold_in(key, 0x5DE))
+                resample = (state.count % self.sde_sample_freq) == 0
+                eps = jnp.where(resample.reshape(E, 1, 1), fresh, state.eps)
+                log_sigma = ts.params["actor"]["params"]["log_sigma_mat"]
+                sig_mat = jnp.exp(jnp.clip(log_sigma, -20.0, 2.0))
+                act = mu + jnp.einsum("bf,bfa,fa->ba", feat, eps, sig_mat)
+                state = Batch(eps=eps, count=state.count + 1)
+            return ActOut(act=act, state=state, info=Batch())
         dist = self._dist(ts.params, obs)
         if deterministic and self.deterministic_eval:
             act = dist.mode()
@@ -103,6 +139,38 @@ class OnPolicyActorCritic(OnPolicyAlgorithm):
         if self.is_discrete:
             act = act.astype(jnp.int32)
         return ActOut(act=act, state=state, info=Batch())
+
+    # ------------------------------------------------------------------
+    # gSDE exploration-noise state (collector carry hooks, base.py):
+    # Batch(eps [E, F, A] standard normal, count [E] steps since resample)
+    def _sde_eps(self, num_envs: int, key: jax.Array) -> jnp.ndarray:
+        F, A = self.actor.hidden_sizes[-1], self.actor.action_dim
+        return jax.random.normal(key, (num_envs, F, A))
+
+    def _sde_noise(self, num_envs: int, key: jax.Array) -> Batch:
+        return Batch(
+            eps=self._sde_eps(num_envs, key),
+            count=jnp.zeros(num_envs, jnp.int32),
+        )
+
+    def init_policy_state(self, num_envs: int):
+        if not self._sde:
+            return super().init_policy_state(num_envs)
+        # fixed-key init: immediately resampled at count==0 in forward, so
+        # only determinism of reset() matters
+        return self._sde_noise(num_envs, jax.random.key(0))
+
+    def reset_policy_state(self, num_envs: int, key: jax.Array):
+        if not self._sde:
+            return super().reset_policy_state(num_envs, key)
+        # episode end: restart the resample schedule (eps itself is drawn
+        # fresh at the next forward since count resets to 0)
+        return self._sde_noise(num_envs, key)
+
+    def refresh_policy_state(self, state, num_envs: int, key: jax.Array):
+        if not self._sde or state is None:
+            return state
+        return self._sde_noise(num_envs, key)
 
     # ------------------------------------------------------------------
     def process_rollout(self, ts: TrainState, rollout: Batch, key: jax.Array) -> Batch:

@@ -241,25 +241,39 @@ class ReplayBuffer:
         state: BufferState,
         flat_idx: jnp.ndarray,
         stack_num: int | None = None,
+        keys: tuple[str, ...] | None = None,
+        drop_keys: tuple[str, ...] = (),
     ) -> Batch:
         """Gather transitions at ``flat_idx``; frame-stack obs if configured.
 
         Frame stacking mirrors reference ``get`` (buffer_base.py:557-598):
         the last ``stack_num`` observations along a new trailing-first axis,
         clamped at episode starts (earliest frame repeats).
+
+        ``keys`` (whitelist) / ``drop_keys`` (blacklist) restrict which
+        fields are gathered. On pixel rings one frame-stacked field is a
+        multi-KB row gather — the dominant cost of a DQN update (measured:
+        half the update time, scripts/mfu_probe.py) — so callers that don't
+        consume a field must not pay for it: the n-step preprocess fetches
+        only ``(obs_next, terminated)`` at the terminal index, and the DQN
+        family drops ``obs_next`` from the sampled batch entirely when
+        targets come from the n-step terminal row.
         """
         stack = self.stack_num if stack_num is None else stack_num
+        want = set(state.data.keys() if keys is None else keys) - set(drop_keys)
+        want_obs_next = "obs_next" in want or (keys is None and "obs_next" not in drop_keys)
         env, slot = self._split(flat_idx)
         batch = Batch()
         for k, v in state.data.items():
-            if stack > 1 and k in ("obs", "obs_next"):
+            if k not in want or (stack > 1 and k in ("obs", "obs_next")):
                 continue
             batch[k] = jax.tree.map(lambda a: a[env, slot], v) if isinstance(v, Batch) else v[env, slot]
         if stack > 1:
-            batch.obs = self._stacked(state, flat_idx, "obs", stack)
-            if "obs_next" in state.data:
+            if "obs" in want:
+                batch.obs = self._stacked(state, flat_idx, "obs", stack)
+            if "obs_next" in state.data and want_obs_next:
                 batch.obs_next = self._stacked(state, flat_idx, "obs_next", stack)
-        if "obs_next" not in state.data:
+        if "obs_next" not in state.data and want_obs_next:
             # reconstruct obs_next = obs at next index (reference ignore_obs_next
             # path, buffer_base.py:557-598 — which frame-stacks obs at
             # next(index) so obs and obs_next have matching [B, stack, ...] shapes)
@@ -273,21 +287,39 @@ class ReplayBuffer:
         return batch
 
     def _stacked(self, state: BufferState, flat_idx: jnp.ndarray, key: str, stack: int) -> jnp.ndarray:
-        indices = flat_idx
-        frames = []
-        for _ in range(stack):
-            env, slot = self._split(indices)
-            src = state.data[key]
-            frames.append(jax.tree.map(lambda a: a[env, slot], src) if isinstance(src, Batch) else src[env, slot])
-            indices = self.prev(state, indices)
-        frames.reverse()  # oldest first, matching reference stack order
-        if isinstance(frames[0], Batch):
-            return Batch.stack(frames, axis=1)
-        return jnp.stack(frames, axis=1)
+        """Frame-stack gather as ONE [B*stack]-row gather.
 
-    def sample(self, state: BufferState, key: jax.Array, batch_size: int) -> tuple[Batch, jnp.ndarray]:
+        The prev-chain is [B] integer index math; materializing the whole
+        chain first and gathering once replaces ``stack`` separate gather
+        kernels with one. The chain is laid out sample-major ([B, stack])
+        so the gather result needs only a reshape, not a transpose. On the
+        dispatch-bound replay path (docs/03_benchmarks.md: 7 KB-row gathers
+        at 2% of HBM bandwidth) kernel COUNT is the cost, not bytes.
+        """
+        idxs = [flat_idx]
+        for _ in range(stack - 1):
+            idxs.append(self.prev(state, idxs[-1]))
+        idxs.reverse()  # oldest first, matching reference stack order
+        chain = jnp.stack(idxs, axis=1)  # [B, stack]
+        B, S = chain.shape
+        env, slot = self._split(chain.reshape(-1))
+        src = state.data[key]
+
+        def g(a):
+            rows = a[env, slot]  # ONE gather of [B*S] rows
+            return rows.reshape((B, S) + a.shape[2:])
+
+        return jax.tree.map(g, src) if isinstance(src, Batch) else g(src)
+
+    def sample(
+        self,
+        state: BufferState,
+        key: jax.Array,
+        batch_size: int,
+        drop_keys: tuple[str, ...] = (),
+    ) -> tuple[Batch, jnp.ndarray]:
         idx = self.sample_indices(state, key, batch_size)
-        return self.get(state, idx), idx
+        return self.get(state, idx, drop_keys=drop_keys), idx
 
     # ------------------------------------------------------------------
     def n_step_gather(
@@ -300,15 +332,15 @@ class ReplayBuffer:
         :func:`tianshou_tpu.ops.returns.nstep_returns` exactly like the
         reference's ``compute_nstep_return`` (algorithm_base.py:721).
         """
-        rews, ends = [], []
-        idx = flat_idx
-        for i in range(n):
-            env, slot = self._split(idx)
-            rews.append(state.data.rew[env, slot])
-            ends.append(state.data.done[env, slot])
-            if i < n - 1:
-                idx = self.next(state, idx)
-        return jnp.stack(rews), jnp.stack(ends).astype(jnp.float32), idx
+        idxs = [flat_idx]
+        for _ in range(n - 1):
+            idxs.append(self.next(state, idxs[-1]))
+        # one gather per field over the whole [n, B] chain (vs n per field)
+        chain = jnp.stack(idxs)  # [n, B]
+        env, slot = self._split(chain.reshape(-1))
+        rews = state.data.rew[env, slot].reshape(chain.shape)
+        ends = state.data.done[env, slot].reshape(chain.shape).astype(jnp.float32)
+        return rews, ends, idxs[-1]
 
     # ------------------------------------------------------------------
     # host-level episode/merge utilities (reference buffer_base.py:171,336)

@@ -71,14 +71,14 @@ class CachedReplayBuffer:
         return CachedState(main, cache), info
 
     # sampling draws from the main buffer only (finished episodes)
-    def sample(self, state: CachedState, key: jax.Array, batch_size: int):
-        return self.main.sample(state.main, key, batch_size)
+    def sample(self, state: CachedState, key: jax.Array, batch_size: int, drop_keys: tuple[str, ...] = ()):
+        return self.main.sample(state.main, key, batch_size, drop_keys=drop_keys)
 
     def sample_indices(self, state: CachedState, key: jax.Array, batch_size: int):
         return self.main.sample_indices(state.main, key, batch_size)
 
-    def get(self, state: CachedState, idx, stack_num=None):
-        return self.main.get(state.main, idx, stack_num)
+    def get(self, state: CachedState, idx, stack_num=None, keys=None, drop_keys=()):
+        return self.main.get(state.main, idx, stack_num, keys=keys, drop_keys=drop_keys)
 
     def num_stored(self, state: CachedState) -> jnp.ndarray:
         return state.main.size.sum()

@@ -80,15 +80,15 @@ class PrioritizedReplayBuffer(ReplayBuffer):
             weight = weight / jnp.maximum(weight.max(), 1e-12)
         return weight
 
-    def sample(self, state: PrioState, key: jax.Array, batch_size: int) -> tuple[Batch, jnp.ndarray]:  # type: ignore[override]
+    def sample(self, state: PrioState, key: jax.Array, batch_size: int, drop_keys: tuple[str, ...] = ()) -> tuple[Batch, jnp.ndarray]:  # type: ignore[override]
         idx = self.sample_indices(state, key, batch_size)
-        batch = self.get(state.base, idx)
+        batch = self.get(state.base, idx, drop_keys=drop_keys)
         batch.weight = self.get_weight(state, idx)
         return batch, idx
 
-    def get(self, state, flat_idx, stack_num=None):  # type: ignore[override]
+    def get(self, state, flat_idx, stack_num=None, keys=None, drop_keys=()):  # type: ignore[override]
         base = state.base if isinstance(state, PrioState) else state
-        return ReplayBuffer.get(self, base, flat_idx, stack_num)
+        return ReplayBuffer.get(self, base, flat_idx, stack_num, keys=keys, drop_keys=drop_keys)
 
     # ------------------------------------------------------------------
     def update_weight(self, state: PrioState, flat_idx: jnp.ndarray, td_error: jnp.ndarray) -> PrioState:

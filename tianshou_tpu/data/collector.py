@@ -145,11 +145,15 @@ class DeviceCollector:
             return jnp.where(d, new, old)
         env_state = jax.tree.map(sel, reset_state, step.state)
         obs = jax.tree.map(sel, reset_obs, step.obs)
-        # recurrent carry resets on episode end (reference collector.py:1103)
+        # recurrent carry resets on episode end (reference collector.py:1103);
+        # the key is folded (not split) so existing algos' RNG streams are
+        # unchanged — only gSDE's reset_policy_state consumes it
         policy_state = out.state
         if policy_state is not None:
-            zero_ps = self.algo.init_policy_state(self.venv.num_envs)
-            policy_state = jax.tree.map(sel, zero_ps, policy_state)
+            reset_ps = self.algo.reset_policy_state(
+                self.venv.num_envs, jax.random.fold_in(k_reset, 1)
+            )
+            policy_state = jax.tree.map(sel, reset_ps, policy_state)
         new_cstate = CollectState(
             env_state=env_state,
             obs=obs,
@@ -166,6 +170,12 @@ class DeviceCollector:
         store = self.buffer is not None
 
         def run(ts, cstate, buf_state, key):
+            # per-chunk policy-state refresh (gSDE noise resample; identity
+            # for everything else). fold_in keeps existing RNG streams intact.
+            ps = self.algo.refresh_policy_state(
+                cstate.policy_state, self.venv.num_envs, jax.random.fold_in(key, 0x5DE)
+            )
+            cstate = cstate._replace(policy_state=ps)
             keys = jax.random.split(key, n_steps)
 
             def body(carry, k):

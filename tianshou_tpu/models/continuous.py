@@ -43,6 +43,15 @@ class ContinuousActorProbabilistic(nn.Module):
     (reference mujoco_ppo.py:109-120, arXiv:2006.05990 Fig.24): tanh
     activations, orthogonal kernels with gain sqrt(2), the final mu layer
     scaled by 0.01, and log-sigma initialized to ``sigma_init``.
+
+    ``sde``: generalized state-dependent exploration (gSDE,
+    arXiv:2005.05719). The actor learns a log-sigma MATRIX [feat, act];
+    the policy marginal is Normal(mu, sigma(s)) with per-state
+    sigma_a(s) = sqrt(sum_f feat_f(s)^2 exp(2 log_sigma_fa)), and the
+    collector samples act = mu + feat^T (eps * exp(log_sigma)) with eps
+    held fixed across steps (temporally-correlated exploration — the
+    round-5 lever for PPO gait discovery on the device physics envs).
+    Returns (mu, sigma(s), feat) in this mode.
     """
 
     hidden_sizes: Sequence[int]
@@ -50,9 +59,10 @@ class ContinuousActorProbabilistic(nn.Module):
     conditioned_sigma: bool = False
     ppo_init: bool = False
     sigma_init: float = -0.5
+    sde: bool = False
 
     @nn.compact
-    def __call__(self, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, obs: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         if self.ppo_init:
             feat = MLP(
                 self.hidden_sizes,
@@ -66,6 +76,16 @@ class ContinuousActorProbabilistic(nn.Module):
         else:
             feat = MLP(self.hidden_sizes)(obs)
             mu = nn.Dense(self.action_dim)(feat)
+        if self.sde:
+            log_sigma = self.param(
+                "log_sigma_mat",
+                nn.initializers.constant(self.sigma_init),
+                (self.hidden_sizes[-1], self.action_dim),
+            )
+            log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)
+            # marginal std per action dim: ||feat ⊙ σ_col||_2
+            var = (feat**2) @ jnp.exp(2.0 * log_sigma)
+            return mu, jnp.sqrt(var + 1e-12), feat
         if self.conditioned_sigma:
             log_sigma = nn.Dense(self.action_dim)(feat)
             log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)

@@ -12,7 +12,7 @@ import enum
 from abc import ABC, abstractmethod
 from collections.abc import Callable
 
-__all__ = ["DataScope", "BaseLogger", "LazyLogger"]
+__all__ = ["DataScope", "BaseLogger", "CurveLogger", "LazyLogger"]
 
 
 class DataScope(enum.Enum):
@@ -84,3 +84,23 @@ class LazyLogger(BaseLogger):
 
     def write(self, step_type: str, step: int, data: dict) -> None:
         pass
+
+
+class CurveLogger(BaseLogger):
+    """In-memory test-return curve recorder.
+
+    Used by benchmark harnesses (examples/benchmark/seed_queue.py) to attach
+    a learning curve to each seed row without a tensorboard directory — the
+    curves feed the rliable IQM/CI aggregation and plots
+    (scripts/aggregate_seed_runs.py --plots), reproducing the reference's
+    load_and_eval_experiment pipeline (rliable_evaluation.py:442) over the
+    queue's JSONL results instead of event files.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(test_interval=1)
+        self.curve: list[tuple[int, float]] = []
+
+    def write(self, step_type: str, step: int, data: dict) -> None:
+        if step_type == "test/env_step" and "test/reward" in data:
+            self.curve.append((int(step), float(data["test/reward"])))
