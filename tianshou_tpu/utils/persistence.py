@@ -27,6 +27,8 @@ __all__ = [
     "save_buffer_hdf5",
     "load_buffer_hdf5",
     "buffer_from_data",
+    "buffer_from_d4rl",
+    "load_d4rl_hdf5",
 ]
 
 
@@ -155,3 +157,37 @@ def buffer_from_data(
         last_idx=jnp.full(1, n - 1, jnp.int32),
     )
     return buf, state
+
+
+def buffer_from_d4rl(dataset, buffer_cls=None) -> tuple[Any, BufferState]:
+    """Device buffer from a d4rl-layout dataset (in-memory dict or open
+    h5py.File): ``observations / actions / rewards / terminals /
+    next_observations`` (+ optional ``timeouts``), exactly the contract of
+    ``d4rl.qlearning_dataset`` that the reference's offline examples consume
+    (reference examples/offline/utils.py:10-33)."""
+    from tianshou_tpu.data.buffer.base import ReplayBuffer
+
+    terminals = np.asarray(dataset["terminals"], bool)
+    timeouts = (
+        np.asarray(dataset["timeouts"], bool)
+        if "timeouts" in dataset
+        else np.zeros(len(terminals), bool)
+    )
+    return buffer_from_data(
+        buffer_cls or ReplayBuffer,
+        obs=np.asarray(dataset["observations"]),
+        act=np.asarray(dataset["actions"]),
+        rew=np.asarray(dataset["rewards"]),
+        terminated=terminals,
+        truncated=timeouts & ~terminals,
+        obs_next=np.asarray(dataset["next_observations"]),
+    )
+
+
+def load_d4rl_hdf5(path: str, buffer_cls=None) -> tuple[Any, BufferState]:
+    """Ingest an external d4rl-format HDF5 dataset file into a device buffer
+    (reference examples/offline/utils.py:23 ``load_buffer``)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return buffer_from_d4rl(f, buffer_cls)
