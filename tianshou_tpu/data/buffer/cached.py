@@ -44,7 +44,12 @@ class CachedReplayBuffer:
 
         def move_env(e, main):
             done = info.done[e]
-            ep_len = cache.cursor[e]  # episode occupies slots [0, ep_len)
+            # episode occupies slots [0, ep_len). An episode of exactly
+            # max_episode_len fills the cache ring, wrapping the cursor back
+            # to 0 on its final add — use the saturated size in that case or
+            # the full episode would be dropped.
+            cur = cache.cursor[e]
+            ep_len = jnp.where((cur == 0) & (cache.size[e] > 0), cache.size[e], cur)
             mc = main.cursor[0]
             offsets = jnp.arange(L)
             valid = (offsets < ep_len) & done

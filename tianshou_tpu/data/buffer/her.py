@@ -44,10 +44,19 @@ class HERReplayBuffer(ReplayBuffer):
         self.horizon = horizon
         self.future_p = 1.0 - 1.0 / future_k
 
-    def sample(self, state: BufferState, key: jax.Array, batch_size: int) -> tuple[Batch, jnp.ndarray]:
+    def sample(
+        self,
+        state: BufferState,
+        key: jax.Array,
+        batch_size: int,
+        drop_keys: tuple[str, ...] = (),
+    ) -> tuple[Batch, jnp.ndarray]:
+        # drop_keys accepted for base-class signature parity; relabeling
+        # reads obs_next/achieved goals, so callers pass () for HER buffers
+        # (algorithm/base.py clears the drop list when relabels_on_sample)
         k_idx, k_her = jax.random.split(key)
         idx = self.sample_indices(state, k_idx, batch_size)
-        batch = self.get(state, idx)
+        batch = self.get(state, idx, drop_keys=drop_keys)
         new_goal, relabel = self.relabel_plan(state, idx, k_her)
         batch = self.apply_relabel(batch, new_goal, relabel)
         # expose the plan so OffPolicyAlgorithm.preprocess can relabel the
