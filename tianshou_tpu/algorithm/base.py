@@ -246,6 +246,26 @@ class Algorithm:
             return self.action_space.n
         return int(np.prod(self.action_space.shape))
 
+    def _nstep_terminal(self, buffer, buf_state, batch: Batch, indices: jnp.ndarray):
+        """n-step reward chain + the terminal row's (obs_next, terminated).
+
+        For n_step==1 the terminal row IS the sampled row, so the already-
+        gathered batch is reused instead of re-gathering (on pixel rings a
+        frame-stacked obs_next gather is the single most expensive kernel
+        of the update). For n_step>1 only the two consumed fields are
+        fetched (reference gathers whole transitions, algorithm_base.py:721
+        — cheap there because numba reads row-wise from host RAM).
+
+        Lives on the Algorithm base: offline Q-learners (e.g. DiscreteBCQ)
+        compute the same bootstrapped targets from a static buffer.
+        """
+        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
+        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
+        if self.n_step == 1 and "obs_next" in batch:
+            return rews, ends, batch.obs_next, batch.terminated
+        terminal = buffer.get(buf_state, term_idx, keys=("obs_next", "terminated"))
+        return rews, ends, terminal.obs_next, terminal.terminated
+
 
 class OnPolicyAlgorithm(Algorithm):
     """Updates from full fresh rollouts (reference :828)."""
@@ -308,23 +328,6 @@ class OffPolicyAlgorithm(Algorithm):
         tq = tq * mask.reshape(mask.shape + (1,) * (tq.ndim - 1))
         batch.returns = nstep_returns(rews, ends, tq, self.gamma)
         return batch
-
-    def _nstep_terminal(self, buffer, buf_state, batch: Batch, indices: jnp.ndarray):
-        """n-step reward chain + the terminal row's (obs_next, terminated).
-
-        For n_step==1 the terminal row IS the sampled row, so the already-
-        gathered batch is reused instead of re-gathering (on pixel rings a
-        frame-stacked obs_next gather is the single most expensive kernel
-        of the update). For n_step>1 only the two consumed fields are
-        fetched (reference gathers whole transitions, algorithm_base.py:721
-        — cheap there because numba reads row-wise from host RAM).
-        """
-        base_state = buf_state.base if hasattr(buf_state, "base") else buf_state
-        rews, ends, term_idx = buffer.n_step_gather(base_state, indices, self.n_step)
-        if self.n_step == 1 and "obs_next" in batch:
-            return rews, ends, batch.obs_next, batch.terminated
-        terminal = buffer.get(buf_state, term_idx, keys=("obs_next", "terminated"))
-        return rews, ends, terminal.obs_next, terminal.terminated
 
 
 class OfflineAlgorithm(Algorithm):
