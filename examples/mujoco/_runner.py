@@ -123,12 +123,15 @@ def make_train(make_algo, **script_defaults):
     """Build a ``train(seed=..., **overrides)`` entry point for an on-policy
     example script, so the seed-queue runner (examples/benchmark/seed_queue.py)
     can drive it the same way it drives the off-policy scripts."""
-    def train(seed=0, **kwargs):
+    def train(seed=0, logger=None, **kwargs):
+        # logger is an explicit parameter (not **kwargs) so the seed-queue's
+        # signature inspection passes a CurveLogger and the JSONL rows carry
+        # learning curves for the rliable plots
         cfg = dict(task="HalfCheetah", epochs=30, epoch_num_steps=100_000,
                    num_envs=256, rollout_len=64, repeat=1, batch_size=4096)
         cfg.update(script_defaults)
         cfg.update(kwargs)
-        return run_onpolicy(make_algo, seed=seed, **cfg)
+        return run_onpolicy(make_algo, seed=seed, logger=logger, **cfg)
     return train
 
 
