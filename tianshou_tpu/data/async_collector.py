@@ -43,7 +43,11 @@ class AsyncHostCollector(HostCollector):
         training: bool = True,
         reset_before_collect: bool = False,
     ) -> CollectStats:
-        assert n_step is not None and n_episode is None, "async mode is n_step-based (reference :1203)"
+        # n_step: stop once >= n_step transitions landed; n_episode: stop once
+        # >= n_episode episodes finished (reference AsyncCollector supports
+        # both, collector.py:1203 — async mode over-delivers rather than
+        # masking surplus envs)
+        assert (n_step is None) != (n_episode is None), "exactly one of n_step/n_episode"
         if reset_before_collect or self._obs is None:
             self.reset()
         E = len(self.venv)
@@ -55,7 +59,10 @@ class AsyncHostCollector(HostCollector):
         ready = list(self.venv.ready_id)
         self._seed_keys(key)
 
-        while step_count < n_step:
+        while (
+            (n_step is not None and step_count < n_step)
+            or (n_episode is not None and len(ep_returns) < n_episode)
+        ):
             k1 = self._next_key()
             obs_ready = np.asarray(self._obs)[ready]
             if random:

@@ -33,6 +33,14 @@ class HostCollector:
     def __init__(self, venv: BaseVectorEnv, algo, buffer=None, return_reduction=None) -> None:
         self.venv = venv
         self.algo = algo
+        if buffer is not None and getattr(buffer, "num_envs", len(venv)) != len(venv):
+            # reference BaseCollector._validate_buffer (collector.py:371):
+            # a buffer whose per-env ring count differs from the env count
+            # would silently mis-shard transitions
+            raise ValueError(
+                f"buffer.num_envs={buffer.num_envs} must equal the vector env "
+                f"count {len(venv)} (use VectorReplayBuffer(total, {len(venv)}))"
+            )
         self.buffer = buffer
         self.buf_state = None
         self._obs: np.ndarray | None = None
@@ -133,28 +141,42 @@ class HostCollector:
         self._seed_keys(key)
 
         while True:
+            # only ACTIVE envs are stepped (reference Collector removes
+            # surplus envs from the ready set, collector.py:1049-1067):
+            # stepping a deactivated env without storing would leave a
+            # chronological gap in its ring that corrupts prev/next walks
+            # (frame-stacking, n-step gathers) in later collect calls
+            ids = np.where(active)[0]
             k1 = self._next_key()
+            obs_act = self._obs[ids] if isinstance(self._obs, Batch) else np.asarray(self._obs)[ids]
             if random:
                 space = self.venv.action_space
-                acts = np.stack([space.sample() for _ in range(E)])
+                acts = np.stack([space.sample() for _ in ids])
                 # Store the *raw-scale* action the algorithm trains on, not
                 # the env-scale sample (reference collector.py:724 applies
                 # map_action_inverse before buffer insertion).
                 raw_acts = np.asarray(self.algo.map_action_inverse(jnp.asarray(acts)))
             else:
-                obs_dev = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
+                obs_dev = obs_act.to_jax() if isinstance(obs_act, Batch) else jnp.asarray(obs_act)
                 raw, mapped = self._forward(ts, obs_dev, k1, training)
                 raw_acts = np.asarray(raw)
                 acts = np.asarray(mapped)
-            obs_next, rew, term, trunc, infos = self.venv.step(acts)
+            all_active = len(ids) == E
+            obs_next, rew, term, trunc, infos = (
+                self.venv.step(acts) if all_active else self.venv.step(acts, id=ids.tolist())
+            )
             obs_next = self._to_obs(obs_next)
             rew = np.asarray(rew)
+            term = np.asarray(term)
+            trunc = np.asarray(trunc)
             done = np.logical_or(term, trunc)
             if self._ep_rew is None:
-                self._ep_rew = np.zeros(rew.shape)
+                self._ep_rew = np.zeros((E,) + rew.shape[1:])
 
             if self.buffer is not None:
-                obs_store = self._obs.to_jax() if isinstance(self._obs, Batch) else jnp.asarray(self._obs)
+                # scatter the active subset into full-E rows; the mask keeps
+                # inactive rings untouched
+                obs_store = obs_act.to_jax() if isinstance(obs_act, Batch) else jnp.asarray(obs_act)
                 obs_next_store = obs_next.to_jax() if isinstance(obs_next, Batch) else jnp.asarray(obs_next)
                 transition = Batch(
                     obs=obs_store,
@@ -164,31 +186,30 @@ class HostCollector:
                     truncated=jnp.asarray(trunc),
                     obs_next=obs_next_store,
                 )
+                if not all_active:
+                    transition = jax.tree.map(
+                        lambda a: jnp.zeros((E,) + a.shape[1:], a.dtype).at[ids].set(a),
+                        transition,
+                    )
                 self._buffer_add(transition, active)
 
-            act_bc = active if rew.ndim == 1 else active[:, None]
-            self._ep_rew += rew * act_bc
-            self._ep_len += active.astype(np.int64)
-            step_count += int(active.sum())
+            self._ep_rew[ids] += rew
+            self._ep_len[ids] += 1
+            step_count += len(ids)
             if self.step_hook is not None and training and not random:
-                self.step_hook(int(active.sum()))
+                self.step_hook(len(ids))
 
             if done.any():
-                done_ids = np.where(done & active)[0]
+                done_ids = ids[done]
                 for i in done_ids:
                     ep_returns.append(float(self.return_reduction(self._ep_rew[i])))
                     ep_lens.append(int(self._ep_len[i]))
                     self._ep_rew[i] = 0.0
                     self._ep_len[i] = 0
-                # reset EVERY done env, active or not: surplus-deactivated
-                # envs keep being stepped each iteration, and stepping a
-                # finished env is an error for strict envs (PettingZoo AEC
-                # raises on dead-agent steps); only active ones are counted
-                all_done_ids = np.where(done)[0]
-                if len(all_done_ids) > 0:
-                    reset_obs, _ = self.venv.reset(id=all_done_ids.tolist())
-                    reset_obs = self._to_obs(reset_obs)
-                    obs_next[all_done_ids.tolist() if isinstance(obs_next, Batch) else all_done_ids] = reset_obs
+                reset_obs, _ = self.venv.reset(id=done_ids.tolist())
+                reset_obs = self._to_obs(reset_obs)
+                done_pos = np.where(done)[0]
+                obs_next[done_pos.tolist() if isinstance(obs_next, Batch) else done_pos] = reset_obs
                 if n_episode is not None:
                     remaining = n_episode - len(ep_returns)
                     # deactivate surplus envs once enough episodes are running
@@ -197,7 +218,14 @@ class HostCollector:
                         if n_active > remaining:
                             active[i] = False
                             n_active -= 1
-            self._obs = obs_next if isinstance(obs_next, Batch) else np.asarray(obs_next)
+            if all_active:
+                self._obs = obs_next if isinstance(obs_next, Batch) else np.asarray(obs_next)
+            else:
+                if isinstance(self._obs, Batch):
+                    self._obs[ids.tolist()] = obs_next
+                else:
+                    self._obs = np.asarray(self._obs)
+                    self._obs[ids] = obs_next
 
             if n_step is not None and step_count >= n_step:
                 break
