@@ -47,6 +47,10 @@ SLOW_TESTS = {
     "test_her_ddpg_beats_sparse_reward",
     "test_her_ddpg_nstep_targets",
     "test_sde_ppo_pendulum_end_to_end",
+    # real-MuJoCo 250-step rollout comparisons (~1 min each)
+    "test_sphere_on_static_sphere_frictionless",
+    "test_capsule_cross_on_static_capsule",
+    "test_sphere_pair_with_friction_condim3",
 }
 
 

@@ -31,6 +31,9 @@ def _rand_state(model, E, seed):
 def test_step_parity(task):
     env = make(task)
     model = env.model
+    # step_b does not implement geom-pair rows (Humanoid enables them and
+    # uses the vmapped path in benchmarks); parity covers the shared subset
+    model.enable_pair_contacts = False
     E = 4
     q, qd, ctrl = _rand_state(model, E, seed=hash(task) % 2**31)
 

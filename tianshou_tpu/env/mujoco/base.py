@@ -58,6 +58,13 @@ class MujocoEnv(Env):
     # gym reset_noise_scale
     reset_noise_scale: float = 0.1
     reset_noise_kind: str = "uniform"  # qpos noise; qvel noise is scaled normal
+    # geom-pair (self-collision) contact rows — real MuJoCo resolves these
+    # (humanoid foot-vs-other-shin, forearm-vs-waist, ...); enabling adds
+    # the pair rows to the contact QP (dynamics._contact_forces_constraint).
+    # Off by default: plane-contact-only tasks ship 0 candidate pairs anyway
+    # (their contype/conaffinity masks disable self-collision, matching
+    # MuJoCo), and enabling is a measured fidelity decision per task.
+    enable_pair_contacts: bool = False
 
     def __init__(self, max_episode_steps: int | None = None) -> None:
         if max_episode_steps is not None:
@@ -65,6 +72,8 @@ class MujocoEnv(Env):
         self.model = load_mjcf(self.xml)
         if self.contact_iterations is not None:
             self.model.contact_iterations = int(self.contact_iterations)
+        if self.enable_pair_contacts:
+            self.model.enable_pair_contacts = True
         # gym MujocoEnv action space == actuator ctrlrange (mujoco_env.py);
         # (-1, 1) for every benchmark asset except Humanoid's (-0.4, 0.4)
         self.action_space = Box(

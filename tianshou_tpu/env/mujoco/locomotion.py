@@ -149,6 +149,12 @@ class Humanoid(MujocoEnv):
     xml = "humanoid.xml"
     frame_skip = 5
     contact_iterations = 30
+    # humanoid.xml body geoms are condim=1/contype=1/conaffinity=1: real
+    # MuJoCo resolves frictionless self-contacts (foot-vs-other-shin,
+    # forearm-vs-waist, foot-vs-butt — measured in the parity probe); the
+    # 109 candidate pair rows close the worst per-dof parity errors (arm
+    # dofs) and remove the cross-through gait exploit
+    enable_pair_contacts = True
     reset_noise_scale = 1e-2
     reset_noise_kind = "both_uniform"
     ctrl_cost_weight = 0.1

@@ -701,6 +701,12 @@ def step_b(
     Same semantics as dynamics.step, env-last. No matmul-precision pin is
     needed: every contraction is mul+reduce (no dot_general reaches XLA).
     """
+    if getattr(model, "enable_pair_contacts", False) and len(model.pair_body1):
+        raise NotImplementedError(
+            "geom-pair contacts are only implemented on the vmapped dynamics.step "
+            "path; disable enable_pair_contacts or use physics_mode='xla' vmapped"
+        )
+
     substeps = resolve_substeps(model, substeps)
     tau = actuation_b(model, ctrl)
     dt = model.timestep / substeps

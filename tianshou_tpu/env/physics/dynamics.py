@@ -336,6 +336,41 @@ def _sol_kb(solref: jnp.ndarray, solimp: jnp.ndarray, pos: jnp.ndarray):
     return d, k, b
 
 
+def _seg_seg_closest(p1, q1, p2, q2, eps: float = 1e-9):
+    """Closest-point parameters (s, t) in [0,1] between segments
+    [p1,q1] and [p2,q2], vectorized over the leading axis (Ericson,
+    Real-Time Collision Detection 5.1.9; branchless via where so it
+    vmaps/jits cleanly). Zero-length segments (spheres) degenerate safely."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = (d1 * d1).sum(-1)
+    e = (d2 * d2).sum(-1)
+    f = (d2 * r).sum(-1)
+    c = (d1 * r).sum(-1)
+    b = (d1 * d2).sum(-1)
+    a_s = jnp.where(a > eps, a, 1.0)
+    e_s = jnp.where(e > eps, e, 1.0)
+    denom = a * e - b * b
+    s0 = jnp.where(
+        denom > eps,
+        jnp.clip((b * f - c * e) / jnp.where(denom > eps, denom, 1.0), 0.0, 1.0),
+        0.0,
+    )
+    t0 = (b * s0 + f) / e_s
+    # re-clamp s for t outside [0,1] (closest point on seg2 is an endpoint)
+    s = jnp.where(
+        t0 < 0.0,
+        jnp.clip(-c / a_s, 0.0, 1.0),
+        jnp.where(t0 > 1.0, jnp.clip((b - c) / a_s, 0.0, 1.0), s0),
+    )
+    # degenerate segments: point-vs-seg / point-vs-point
+    s = jnp.where(a > eps, s, 0.0)
+    s = jnp.where((e > eps) | (a <= eps), s, jnp.clip(-c / a_s, 0.0, 1.0))
+    t = jnp.where(e > eps, jnp.clip(t0, 0.0, 1.0), 0.0)
+    return s, t
+
+
 def _contact_forces_constraint(
     model: Model, q: jnp.ndarray, qd: jnp.ndarray, f_free: jnp.ndarray, M: jnp.ndarray,
     fk=None,
@@ -417,6 +452,169 @@ def _contact_forces_constraint(
         aref_rows.append((-b[:, None] * vel_f - k[:, None] * pos[:, None]).reshape(-1))
         act_rows.append(jnp.repeat(active, 4))
         R_rows.append(jnp.repeat(R_c, 4))
+
+    npair = (
+        len(model.pair_body1)
+        if getattr(model, "enable_pair_contacts", False) and model.pair_body1 is not None
+        else 0
+    )
+    if npair:
+        # geom-pair (self-collision) rows: one contact per candidate pair at
+        # the segment-segment closest points (MuJoCo capsule-capsule
+        # narrowphase). condim-1 pairs (e.g. every humanoid body pair —
+        # geom default condim=1 in humanoid.xml) contribute a single
+        # frictionless normal row; condim>=3 pairs get the 4 pyramidal
+        # facets like floor contacts. The row Jacobian is the gradient of
+        # the pair distance: by the envelope theorem (s*, t* are the
+        # minimizers) that is n . (Jc1 - Jc2) at fixed (s*, t*), composed
+        # from the FK Jacobians mass_matrix_fk already produced — no extra
+        # jacfwd pass.
+        b1 = jnp.asarray(model.pair_body1)
+        b2 = jnp.asarray(model.pair_body2)
+        ea1 = jnp.asarray(model.pair_a1 - model.body_com[model.pair_body1])
+        eb1 = jnp.asarray(model.pair_b1 - model.body_com[model.pair_body1])
+        ea2 = jnp.asarray(model.pair_a2 - model.body_com[model.pair_body2])
+        eb2 = jnp.asarray(model.pair_b2 - model.body_com[model.pair_body2])
+
+        if fk is not None:
+            pcom_, R_, dp_, dR_ = fk
+        else:
+            pcom_, R_ = _fk_com(model, q)
+            dp_, dR_ = jax.jacfwd(lambda q_: _fk_com(model, q_))(q)
+
+        def _pt(bi, e):
+            x = pcom_[bi] + mv(R_[bi], e)
+            Jx = dp_[bi] + (dR_[bi] * e[:, None, :, None]).sum(2)  # [np,3,nq]
+            return x, Jx
+
+        A1, JA1 = _pt(b1, ea1)
+        B1, JB1 = _pt(b1, eb1)
+        A2, JA2 = _pt(b2, ea2)
+        B2, JB2 = _pt(b2, eb2)
+        s_p, t_p = _seg_seg_closest(A1, B1, A2, B2)
+        c1 = A1 + s_p[:, None] * (B1 - A1)
+        c2 = A2 + t_p[:, None] * (B2 - A2)
+        dvec = c1 - c2
+        dist_p = jnp.sqrt((dvec * dvec).sum(-1) + 1e-12)
+        n_p = dvec / dist_p[:, None]
+        Jrel = (
+            JA1 + s_p[:, None, None] * (JB1 - JA1)
+            - JA2 - t_p[:, None, None] * (JB2 - JA2)
+        )  # [np, 3, nq]
+        Jn = (n_p[:, :, None] * Jrel).sum(1)  # [np, nq]
+
+        sdist = dist_p - jnp.asarray(model.pair_radius)
+        marg_p = jnp.asarray(model.pair_margin)
+        pos_p = sdist - marg_p
+        active_p = sdist < marg_p
+        d_p, k_p, b_pc = _sol_kb(
+            jnp.asarray(model.pair_solref), jnp.asarray(model.pair_solimp), pos_p
+        )
+        vel_n = (Jn * qd[None, :]).sum(-1)
+
+        # Jdot qd bias of the relative closest-point (fixed s*, t*), same
+        # double-jvp pattern as the floor-contact a_bias
+        sg = jax.lax.stop_gradient(s_p)
+        tg = jax.lax.stop_gradient(t_p)
+
+        def relp(q_):
+            p_, R__ = _fk_com(model, q_)
+            a1_ = p_[b1] + mv(R__[b1], ea1)
+            b1_ = p_[b1] + mv(R__[b1], eb1)
+            a2_ = p_[b2] + mv(R__[b2], ea2)
+            b2_ = p_[b2] + mv(R__[b2], eb2)
+            return (a1_ + sg[:, None] * (b1_ - a1_)) - (a2_ + tg[:, None] * (b2_ - a2_))
+
+        _, rel_bias = jax.jvp(
+            lambda q_: jax.jvp(relp, (q_,), (qd,))[1], (q,), (qd,)
+        )
+        bias_n = (n_p * rel_bias).sum(1)
+
+        Jn_act = Jn * active_p[:, None]
+        A_nn_p = jnp.sum(Jn_act * chol_solve(L_M, Jn_act.T).T, axis=1)
+
+        idx1 = np.where(np.asarray(model.pair_condim) < 3)[0]
+        idx3 = np.where(np.asarray(model.pair_condim) >= 3)[0]
+        if len(idx1):
+            i1 = jnp.asarray(idx1)
+            J_rows.append(Jn_act[i1])
+            vel_rows.append(vel_n[i1])
+            bias_rows.append((bias_n * active_p)[i1])
+            aref_rows.append(((-b_pc * vel_n - k_p * pos_p) * active_p)[i1])
+            act_rows.append(active_p[i1])
+            # frictionless rows regularize like limit rows: R = (1-d)/d A_ii
+            R_rows.append(((1.0 - d_p) / d_p * A_nn_p)[i1])
+        if len(idx3):
+            i3 = jnp.asarray(idx3)
+            # tangent frame from the contact normal (any orthonormal pair)
+            ref = jnp.where(
+                (jnp.abs(n_p[i3, 0]) < 0.9)[:, None],
+                jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (len(idx3), 3)),
+                jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (len(idx3), 3)),
+            )
+            t1 = jnp.cross(ref, n_p[i3])
+            t1 = t1 / jnp.sqrt((t1 * t1).sum(-1, keepdims=True) + 1e-12)
+            t2 = jnp.cross(n_p[i3], t1)
+            mu_p = jnp.asarray(model.pair_friction)[i3]
+            # Friction acts at the contact SURFACE point, not at the segment
+            # closest points: the tangential rows must see the material
+            # velocity there (incl. omega x r), otherwise spheres transmit no
+            # rolling torque and a ball perched on a ball sticks where
+            # MuJoCo's rolls off. Contact pos is midway between the two
+            # surfaces along the normal (MuJoCo mjc_convex convention); its
+            # body-local coords are held fixed for the row Jacobians.
+            r1_p = jnp.asarray(model.pair_r1)[i3]
+            r2_p = (jnp.asarray(model.pair_radius) - jnp.asarray(model.pair_r1))[i3]
+            b1i, b2i = b1[i3], b2[i3]
+            pc = 0.5 * (c1[i3] + c2[i3]) + 0.5 * (r2_p - r1_p)[:, None] * n_p[i3]
+            e1c = (R_[b1i] * (pc - pcom_[b1i])[:, :, None]).sum(1)  # R^T (pc - com)
+            e2c = (R_[b2i] * (pc - pcom_[b2i])[:, :, None]).sum(1)
+            J1c = dp_[b1i] + (dR_[b1i] * e1c[:, None, :, None]).sum(2)
+            J2c = dp_[b2i] + (dR_[b2i] * e2c[:, None, :, None]).sum(2)
+            Jc = J1c - J2c  # [k, 3, nq] relative material-point Jacobian
+            Jt1 = (t1[:, :, None] * Jc).sum(1)
+            Jt2 = (t2[:, :, None] * Jc).sum(1)
+            sgn_p = jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+            tanJ = (
+                sgn_p[None, :, 0, None] * Jt1[:, None, :]
+                + sgn_p[None, :, 1, None] * Jt2[:, None, :]
+            )
+            Jf_p = Jn[i3][:, None, :] + mu_p[:, None, None] * tanJ  # [k,4,nq]
+            vt1 = (Jt1 * qd[None, :]).sum(-1)
+            vt2 = (Jt2 * qd[None, :]).sum(-1)
+            vtt = sgn_p[None, :, 0] * vt1[:, None] + sgn_p[None, :, 1] * vt2[:, None]
+            vel_f = vel_n[i3][:, None] + mu_p[:, None] * vtt
+            # Jdot qd bias at the contact material points (fixed body-local
+            # coords), same double-jvp as the center-segment bias above
+            e1g = jax.lax.stop_gradient(e1c)
+            e2g = jax.lax.stop_gradient(e2c)
+
+            def relc(q_):
+                p_, R__ = _fk_com(model, q_)
+                return (p_[b1i] + mv(R__[b1i], e1g)) - (p_[b2i] + mv(R__[b2i], e2g))
+
+            _, relc_bias = jax.jvp(
+                lambda q_: jax.jvp(relc, (q_,), (qd,))[1], (q,), (qd,)
+            )
+            bt1 = (t1 * relc_bias).sum(1)
+            bt2 = (t2 * relc_bias).sum(1)
+            btt = sgn_p[None, :, 0] * bt1[:, None] + sgn_p[None, :, 1] * bt2[:, None]
+            bias_f = bias_n[i3][:, None] + mu_p[:, None] * btt
+            act3 = active_p[i3]
+            muc_p = jnp.maximum(mu_p, 1.0)
+            R_p3 = (
+                (1.0 - d_p[i3]) / d_p[i3]
+                * 2.0 * muc_p * muc_p * (1.0 + muc_p * muc_p) * A_nn_p[i3]
+            )
+            J_rows.append((Jf_p * act3[:, None, None]).reshape(len(idx3) * 4, model.nq))
+            vel_rows.append(vel_f.reshape(-1))
+            bias_rows.append((bias_f * act3[:, None]).reshape(-1))
+            aref_rows.append(
+                ((-b_pc[i3][:, None] * vel_f - k_p[i3][:, None] * pos_p[i3][:, None])
+                 * act3[:, None]).reshape(-1)
+            )
+            act_rows.append(jnp.repeat(act3, 4))
+            R_rows.append(jnp.repeat(R_p3, 4))
 
     if nl:
         li = jnp.asarray(model.limit_q_idx)
@@ -512,8 +710,13 @@ def bias_force(model: Model, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
 def _substep(model: Model, q: jnp.ndarray, qd: jnp.ndarray, tau_act: jnp.ndarray, dt: float):
     M, pcom, R, dp, dR = mass_matrix_fk(model, q)
     m_diag = jnp.diagonal(M)
+    n_pairs = (
+        len(model.pair_body1)
+        if getattr(model, "enable_pair_contacts", False) and model.pair_body1 is not None
+        else 0
+    )
     use_constraint = getattr(model, "contact_model", "penalty") == "constraint" and (
-        len(model.contact_radius) > 0 or len(model.limit_q_idx) > 0
+        len(model.contact_radius) > 0 or len(model.limit_q_idx) > 0 or n_pairs > 0
     )
     tau_p, D = _passive_joint_forces(
         model, q, qd, m_diag, include_limits=not use_constraint

@@ -114,6 +114,7 @@ class _Loader:
             self.floor = dict(
                 friction=float(_floats(attr.get("friction"), [1.0, 0.005, 0.0001])[0]),
                 margin=margin, solref=solref, solimp=solimp,
+                condim=int(attr.get("condim", "3")),
             )
             return
         fromto = _floats(attr.get("fromto"))
@@ -141,6 +142,8 @@ class _Loader:
                 rot = _axis_angle_to_mat(aa[:3], self.angle(aa[3]))
         friction = _floats(attr.get("friction"), [1.0, 0.005, 0.0001])[0]
         contype = int(attr.get("contype", "1"))
+        conaffinity = int(attr.get("conaffinity", "1"))
+        condim = int(attr.get("condim", "3"))
         mass = float(attr["mass"]) if attr.get("mass") else None
         margin, solref, solimp = self._solparams(attr)
         self.geoms.append(
@@ -158,6 +161,9 @@ class _Loader:
                 margin=margin,
                 solref=solref,
                 solimp=solimp,
+                contype=contype,
+                conaffinity=conaffinity,
+                condim=condim,
             )
         )
 

@@ -61,6 +61,11 @@ class Geom:
     margin: float = 0.0
     solref: tuple[float, float] = (0.02, 1.0)
     solimp: tuple[float, ...] = (0.9, 0.95, 0.001, 0.5, 2.0)
+    # MuJoCo collision filtering/dimensionality (geom contype/conaffinity/
+    # condim); condim 1 = frictionless normal-only contact
+    contype: int = 1
+    conaffinity: int = 1
+    condim: int = 3
 
 
 @dataclasses.dataclass
@@ -128,6 +133,27 @@ class Model:
     limit_range: np.ndarray | None = None     # [nl, 2]
     limit_solref: np.ndarray | None = None    # [nl, 2]
     limit_solimp: np.ndarray | None = None    # [nl, 5]
+    # geom-pair (self-collision) contacts — candidate pairs built by
+    # finalize() with MuJoCo's weld-aware filtering; rows solved by the
+    # constraint QP when enable_pair_contacts is on.  Capsules/cylinders are
+    # segments, spheres zero-length segments; each pair yields one contact
+    # at the segment-segment closest points (MuJoCo capsule-capsule).
+    # Gated OFF by default: the benchmark rows for plane-contact-only tasks
+    # were measured without pair rows — enable per env (Humanoid sets it).
+    enable_pair_contacts: bool = False
+    pair_body1: np.ndarray | None = None      # [np]
+    pair_body2: np.ndarray | None = None      # [np]
+    pair_a1: np.ndarray | None = None         # [np, 3] seg1 end A (body1 frame)
+    pair_b1: np.ndarray | None = None         # [np, 3] seg1 end B
+    pair_a2: np.ndarray | None = None         # [np, 3] seg2 end A (body2 frame)
+    pair_b2: np.ndarray | None = None         # [np, 3] seg2 end B
+    pair_radius: np.ndarray | None = None     # [np] r1 + r2
+    pair_r1: np.ndarray | None = None         # [np] geom-1 radius (contact-point split)
+    pair_friction: np.ndarray | None = None   # [np] elementwise-max slide mu
+    pair_condim: np.ndarray | None = None     # [np] max(condim1, condim2)
+    pair_margin: np.ndarray | None = None     # [np] margin1 + margin2
+    pair_solref: np.ndarray | None = None     # [np, 2] solmix average
+    pair_solimp: np.ndarray | None = None     # [np, 5]
 
     # ------------------------------------------------------------------
     def joints_of(self, body: int) -> list[Joint]:
@@ -222,6 +248,88 @@ class Model:
             self.contact_margin = np.zeros(0)
             self.contact_solref = np.zeros((0, 2))
             self.contact_solimp = np.zeros((0, 5))
+
+        # geom-pair (self-collision) candidate table.  MuJoCo filtering
+        # (mj_collision): geoms collide iff the contype/conaffinity masks
+        # cross-match AND their WELD bodies differ AND the welds are not
+        # parent-child (a jointless body is welded to its parent, so e.g.
+        # humanoid's foot sphere never collides with its own shin).
+        has_joint = [False] * nb
+        for j in self.joints:
+            has_joint[j.body] = True
+
+        def weldid(b: int) -> int:
+            while b >= 0 and not has_joint[b]:
+                b = self.parent[b]
+            return b
+
+        def seg_of(g: Geom):
+            """(end_a, end_b, radius) in body frame; None if unsupported."""
+            if g.gtype == "sphere":
+                return g.pos, g.pos, float(g.size[0])
+            if g.gtype in ("capsule", "cylinder"):
+                ax = g.rot[:, 2] * float(g.size[1])
+                return g.pos - ax, g.pos + ax, float(g.size[0])
+            return None  # boxes/planes: no pair support
+
+        prows: list[tuple] = []
+        cgeoms = [g for g in self.geoms if g.contact and seg_of(g) is not None]
+        for i in range(len(cgeoms)):
+            for jj in range(i + 1, len(cgeoms)):
+                g1, g2 = cgeoms[i], cgeoms[jj]
+                if not (
+                    (g1.contype & g2.conaffinity) or (g2.contype & g1.conaffinity)
+                ):
+                    continue
+                w1, w2 = weldid(g1.body), weldid(g2.body)
+                if w1 == w2:
+                    continue
+
+                def pweld(w: int) -> int:
+                    # weld of the parent body; -1 = world (filter exempt)
+                    return weldid(self.parent[w]) if w >= 0 else -1
+
+                # parent filter (weld-aware); does NOT apply across the world
+                if (pweld(w1) == w2 and w2 >= 0) or (pweld(w2) == w1 and w1 >= 0):
+                    continue
+                a1, b1, r1 = seg_of(g1)
+                a2, b2, r2 = seg_of(g2)
+                prows.append((
+                    g1.body, g2.body, a1, b1, a2, b2, (r1 + r2, r1),
+                    max(g1.friction, g2.friction),
+                    max(g1.condim, g2.condim),
+                    g1.margin + g2.margin,
+                    0.5 * (np.asarray(g1.solref) + np.asarray(g2.solref)),
+                    0.5 * (np.asarray(g1.solimp) + np.asarray(g2.solimp)),
+                ))
+        if prows:
+            self.pair_body1 = np.array([r[0] for r in prows], np.int32)
+            self.pair_body2 = np.array([r[1] for r in prows], np.int32)
+            self.pair_a1 = np.stack([r[2] for r in prows]).astype(np.float64)
+            self.pair_b1 = np.stack([r[3] for r in prows]).astype(np.float64)
+            self.pair_a2 = np.stack([r[4] for r in prows]).astype(np.float64)
+            self.pair_b2 = np.stack([r[5] for r in prows]).astype(np.float64)
+            self.pair_radius = np.array([r[6][0] for r in prows])
+            self.pair_r1 = np.array([r[6][1] for r in prows])
+            self.pair_friction = np.array([r[7] for r in prows])
+            self.pair_condim = np.array([r[8] for r in prows], np.int32)
+            self.pair_margin = np.array([r[9] for r in prows])
+            self.pair_solref = np.stack([r[10] for r in prows])
+            self.pair_solimp = np.stack([r[11] for r in prows])
+        else:
+            self.pair_body1 = np.zeros(0, np.int32)
+            self.pair_body2 = np.zeros(0, np.int32)
+            self.pair_a1 = np.zeros((0, 3))
+            self.pair_b1 = np.zeros((0, 3))
+            self.pair_a2 = np.zeros((0, 3))
+            self.pair_b2 = np.zeros((0, 3))
+            self.pair_radius = np.zeros(0)
+            self.pair_r1 = np.zeros(0)
+            self.pair_friction = np.zeros(0)
+            self.pair_condim = np.zeros(0, np.int32)
+            self.pair_margin = np.zeros(0)
+            self.pair_solref = np.zeros((0, 2))
+            self.pair_solimp = np.zeros((0, 5))
 
         # joint-limit constraint row tables
         lim = [j for j in self.joints if j.jtype != FREE and j.limited]

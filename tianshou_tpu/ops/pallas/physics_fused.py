@@ -83,6 +83,12 @@ def fused_step(
     Not jitted here (Model is an unhashable pytree of numpy constants):
     close over the model and jit the caller, as with ``dynamics.step``.
     """
+    if getattr(model, "enable_pair_contacts", False) and len(model.pair_body1):
+        raise NotImplementedError(
+            "geom-pair contacts are only implemented on the vmapped dynamics.step "
+            "path; disable enable_pair_contacts or use physics_mode='xla' vmapped"
+        )
+
     substeps = B.resolve_substeps(model, substeps)
     n = frame_skip * substeps
     dt = model.timestep / substeps
