@@ -15,6 +15,7 @@ import pytest
 
 from tianshou_tpu.env.atari import (
     ClipRewardEnv,
+    ScaledFloatFrame,
     EpisodicLifeEnv,
     FireResetEnv,
     FrameStack,
@@ -197,6 +198,18 @@ def test_clip_reward_signs():
     w = ClipRewardEnv(env)
     env.reset()
     assert [w.step(0)[1] for _ in range(3)] == [1.0, -1.0, 0.0]
+
+
+# ---------------------------------------------------------- ScaledFloatFrame
+def test_scaled_float_frame():
+    env = FakeAtari()
+    w = ScaledFloatFrame(env)
+    obs, _ = w.reset()
+    assert obs.dtype == np.float32
+    assert obs.max() <= 1.0 and obs.min() >= 0.0
+    env.t = 254  # next frame value 255 -> exactly 1.0
+    obs, *_ = w.step(0)
+    assert obs.max() == 1.0
 
 
 # --------------------------------------------------------------- FrameStack

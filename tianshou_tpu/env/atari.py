@@ -20,6 +20,7 @@ __all__ = [
     "EpisodicLifeEnv",
     "FireResetEnv",
     "WarpFrame",
+    "ScaledFloatFrame",
     "ClipRewardEnv",
     "FrameStack",
     "wrap_deepmind",
@@ -129,6 +130,25 @@ class WarpFrame(_Wrapper):
     def step(self, a):
         obs, r, term, trunc, info = self.env.step(a)
         return self._warp(obs), r, term, trunc, info
+
+
+class ScaledFloatFrame(_Wrapper):
+    """uint8 [0,255] -> float32 [0,1] frames (reference atari_wrapper.py:238).
+
+    Rarely used on TPU (the buffer stores uint8 and the CNN casts on
+    device), but kept for wrapper-stack parity with hosts that want
+    float observations."""
+
+    def _scale(self, obs):
+        return np.asarray(obs, np.float32) / 255.0
+
+    def reset(self, **kw):
+        obs, info = self.env.reset(**kw)
+        return self._scale(obs), info
+
+    def step(self, a):
+        obs, r, term, trunc, info = self.env.step(a)
+        return self._scale(obs), r, term, trunc, info
 
 
 class ClipRewardEnv(_Wrapper):
