@@ -123,3 +123,52 @@ def test_rewards_and_done_flags_move_with_episode():
     np.testing.assert_allclose(np.asarray(state.main.data.rew[0, :2]), [0.5, 0.6])
     np.testing.assert_array_equal(np.asarray(state.main.data.terminated[0, :2]), [False, True])
     np.testing.assert_allclose(np.asarray(state.main.data.obs_next[0, :2]), [6, 7])
+
+
+def test_stack_through_cached_main_respects_episode_boundaries():
+    """Frame-stacked get() through the cached buffer (reference
+    test_multibuf_stack, test/base/test_buffer.py:1137): episodes from
+    different envs pack back-to-back in the main ring, and stacks must
+    clamp at each episode head instead of leaking into the neighbor."""
+    buf = CachedReplayBuffer(main_size=8, num_envs=2, max_episode_len=4, stack_num=2)
+    state = buf.init(example())
+    add = jax.jit(buf.add)
+    # env0 runs a 3-step episode, env1 a 2-step episode finishing first
+    state, _ = add(state, tr([0.0, 50.0], [False, False]))
+    state, _ = add(state, tr([1.0, 51.0], [False, True]))   # env1 episode -> main
+    state, _ = add(state, tr([2.0, 60.0], [True, False]))   # env0 episode -> main
+    np.testing.assert_array_equal(
+        np.asarray(state.main.data.obs[0, :5]), [50, 51, 0, 1, 2]
+    )
+    got = buf.get(state, jnp.arange(5))
+    assert got.obs.shape == (5, 2)
+    np.testing.assert_array_equal(
+        np.asarray(got.obs),
+        [[50, 50],   # head of env1 episode clamps
+         [50, 51],
+         [0, 0],     # head of env0 episode clamps (no [51, 0] leak)
+         [0, 1],
+         [1, 2]],
+    )
+
+
+def test_cached_sampled_stack_never_crosses_episodes():
+    """Sampling with stack_num>1 from the cached main ring only ever
+    returns stacks whose frames share one episode."""
+    buf = CachedReplayBuffer(main_size=16, num_envs=2, max_episode_len=4, stack_num=3)
+    state = buf.init(example())
+    add = jax.jit(buf.add)
+    base = 0.0
+    for step in range(12):  # many short episodes with distinct obs ranges
+        done0 = step % 3 == 2
+        done1 = step % 4 == 3
+        state, _ = add(state, tr([base + step, 100.0 + base + step], [done0, done1]))
+    batch, _ = buf.sample(state, jax.random.key(0), 64)
+    stacks = np.asarray(batch.obs)  # [64, 3] oldest->newest
+    assert stacks.shape == (64, 3)
+    # frames within one stack are same-episode: same 100s-block and
+    # non-decreasing with step gaps of 0 or 1 (clamped heads repeat)
+    blocks = stacks // 100
+    assert (blocks == blocks[:, :1]).all()
+    diffs = np.diff(stacks, axis=1)
+    assert ((diffs == 0) | (diffs == 1)).all()
