@@ -25,6 +25,8 @@ variant, same policy as ``ops/pallas/sumtree.py``.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -32,39 +34,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_rows", "gather_rows_auto"]
 
-_INFLIGHT = 8  # concurrent row DMAs
+_INFLIGHT = 8  # default concurrent row DMAs
 
 
-def _make_kernel(B: int):
+def _make_kernel(B: int, inflight: int):
     def kernel(idx_ref, src_ref, out_ref, sems):
         def get_dma(i):
             return pltpu.make_async_copy(
                 src_ref.at[pl.ds(idx_ref[i], 1)],
                 out_ref.at[pl.ds(i, 1)],
-                sems.at[i % _INFLIGHT],
+                sems.at[i % inflight],
             )
 
         def body(i, _):
             get_dma(i).start()
 
-            @pl.when(i >= _INFLIGHT - 1)
+            @pl.when(i >= inflight - 1)
             def _():
-                # wait for the transfer issued _INFLIGHT-1 steps ago so at
-                # most _INFLIGHT row copies are ever in flight
-                get_dma(i - (_INFLIGHT - 1)).wait()
+                # wait for the transfer issued inflight-1 steps ago so at
+                # most `inflight` row copies are ever in flight
+                get_dma(i - (inflight - 1)).wait()
 
             return 0
 
         jax.lax.fori_loop(0, B, body, 0)
         # drain the tail
-        for k in range(max(B - (_INFLIGHT - 1), 0), B):
+        for k in range(max(B - (inflight - 1), 0), B):
             get_dma(k).wait()
 
     return kernel
 
 
-@jax.jit
-def gather_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("inflight",))
+def gather_rows(src: jnp.ndarray, idx: jnp.ndarray, inflight: int = _INFLIGHT) -> jnp.ndarray:
     """``src[idx]`` for 2-D ``src [N, F]`` (``F`` a multiple of 128) and
     1-D int ``idx [B]`` as a pipeline of direct HBM→HBM row DMAs.
 
@@ -80,10 +82,10 @@ def gather_rows(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_INFLIGHT,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((inflight,))],
     )
     out = pl.pallas_call(
-        _make_kernel(B),
+        _make_kernel(B, inflight),
         out_shape=jax.ShapeDtypeStruct((B, F // 128, 128), src.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
