@@ -49,20 +49,31 @@ def timed(fn, iters=32):
 
 
 def main() -> None:
+    import os
+
+    # trimmed defaults: remote-tunnel compiles are ~1 min each, so every
+    # variant must earn its compile (the first run of this probe was
+    # watchdog-killed mid-compile at the full 12-program sweep)
+    batches = tuple(int(b) for b in os.environ.get("GKP_BATCHES", "4096").split(","))
+    inflights = tuple(int(i) for i in os.environ.get("GKP_INFLIGHTS", "8,32,128").split(","))
+    check = os.environ.get("GKP_BITCHECK", "0") == "1"
+
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(0, 255, (N, F), np.uint8))
 
-    # bit-exactness first (kernel vs XLA), at a deep inflight
-    idx = jnp.asarray(rng.integers(0, N, 512).astype(np.int32))
-    for infl in (8, 64):
-        np.testing.assert_array_equal(
-            np.asarray(gather_rows(src, idx, inflight=infl)),
-            np.asarray(src[idx]),
-        )
-    print("bit-exact ok", flush=True)
+    if check:
+        # bit-exactness (kernel vs XLA) — measured ok 2026-08-19 at
+        # inflight 8 and 64 on the real chip; opt-in to save compiles
+        idx = jnp.asarray(rng.integers(0, N, 512).astype(np.int32))
+        for infl in (8, 64):
+            np.testing.assert_array_equal(
+                np.asarray(gather_rows(src, idx, inflight=infl)),
+                np.asarray(src[idx]),
+            )
+        print("bit-exact ok", flush=True)
 
     results = {}
-    for B in (4096, 16384):
+    for B in batches:
         def mk(fn):
             def f(key):
                 i = jax.random.randint(key, (B,), 0, N)
@@ -70,11 +81,13 @@ def main() -> None:
             return f
 
         row = {}
-        ms = timed(mk(lambda s, i: s[i]))
+        ms = timed(mk(lambda s, i: s[i]), iters=16)
         row["xla"] = round(ms, 3)
-        for infl in (8, 16, 32, 64, 128):
-            ms = timed(mk(lambda s, i, _if=infl: gather_rows(s, i, inflight=_if)))
+        print(json.dumps({B: row}), flush=True)
+        for infl in inflights:
+            ms = timed(mk(lambda s, i, _if=infl: gather_rows(s, i, inflight=_if)), iters=16)
             row[f"kernel_if{infl}"] = round(ms, 3)
+            print(json.dumps({B: row}), flush=True)
         # GB/s for the best variant
         best = min(row.values())
         row["best_gbs"] = round(B * F / (best / 1e3) / 1e9, 1)
