@@ -36,3 +36,14 @@ def test_gather_rows_kernel_bit_exact_tpu():
     idx = jnp.asarray(rng.integers(0, 1024, 128, dtype=np.int32))
     out = gather_rows(src, idx)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(src)[np.asarray(idx)])
+
+
+@pytest.mark.parametrize("inflight", [8, 32, 128])
+def test_gather_rows_inflight_param_traces(inflight):
+    """The DMA ring depth is a static parameter: every depth must produce
+    the same abstract output (bit-exactness at 8/64 measured on TPU,
+    scripts/gather_kernel_probe.py 2026-08-19)."""
+    src = jnp.zeros((256, 7168), jnp.uint8)
+    idx = jnp.zeros((64,), jnp.int32)
+    out = jax.eval_shape(lambda s, i: gather_rows(s, i, inflight=inflight), src, idx)
+    assert out.shape == (64, 7168) and out.dtype == jnp.uint8
