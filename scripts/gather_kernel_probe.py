@@ -25,7 +25,9 @@ import numpy as np
 
 from tianshou_tpu.ops.pallas.gather import gather_rows
 
-N = 131072  # 256 envs x 512 slots
+import os as _os
+
+N = int(_os.environ.get("GKP_N", "131072"))  # 256 envs x 512 slots
 F = 7168  # 84*84 padded to 128-multiple
 
 

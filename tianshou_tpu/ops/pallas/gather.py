@@ -21,6 +21,16 @@ that swamps either at small batches. Verdict: XLA is the default
 (:func:`gather_rows_auto` never dispatches to the kernel); the kernel is
 kept as the measured opt-in scaffold for a future multi-row descriptor
 variant, same policy as ``ops/pallas/sumtree.py``.
+
+Round-5 follow-up (2026-08-19, ``scripts/gather_kernel_probe.py``): the
+DMA in-flight ring depth is now a parameter, bit-exact on chip at depths
+8/64. Timing at depth 128 (B=2048 rows, 32768x7168 uint8 source, a
+degraded-tunnel evening so absolute numbers are ~5x round-4's): XLA
+1.789 ms vs kernel 2.363 ms — deeper pipelining does NOT close the gap,
+so the per-row floor is not DMA-latency-bound at the issue ring. The
+remaining levers are layout-level: pre-padded rows feeding a fused
+gather->cast->conv1 kernel, or contiguous-segment sampling (both change
+storage or sampling semantics; see docs/03_benchmarks.md).
 """
 
 from __future__ import annotations
